@@ -1,0 +1,19 @@
+"""NeuralSVB-TPU: a TPU-native (JAX/XLA/Pallas/pjit) singing-voice-beautification framework.
+
+A ground-up rebuild of the capabilities of MoonInTheRiver/NeuralSVB ("Learning the
+Beauty in Songs", ACL 2022) designed for TPU hardware:
+
+- compute path: JAX + Flax modules compiled by XLA, hot DSP ops as fused
+  JAX/Pallas kernels (STFT+mel, SSIM, DTW wavefront)
+- parallelism: SPMD data parallelism over a ``jax.sharding.Mesh`` (pjit),
+  replacing the reference's NCCL DDP (reference: utils/trainer.py:462-466)
+- runtime: host-side trainer with per-optimizer jitted train steps, orbax
+  checkpoints, TensorBoard logging
+- native path: C++ DTW dynamic-programming kernel (ctypes) replacing the
+  reference's numba JIT (reference: modules/voice_conversion/dtw/align.py:8-37)
+
+Layer map mirrors SURVEY.md section 1: hparams (L0), ops/utils (L1), models
+(L2-L3), DTW (L4), data (L5), vocoders (L6), training+tasks (L7), CLI (L8).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,72 @@
+"""Config system tests: YAML DAG merge + CLI override semantics
+(reference contract: utils/hparams.py:17-128)."""
+
+import os
+
+import yaml
+
+from neuralsvb_tpu.hparams import apply_overrides, load_config_recursive, set_hparams
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MAIN_CFG = os.path.join(REPO, "egs/datasets/audio/PopBuTFy/vae_global_mle_eng.yaml")
+
+
+def test_main_config_chain_merges():
+    cfg = load_config_recursive(MAIN_CFG)
+    # leaf values win over every base
+    assert cfg["task_cls"] == "neuralsvb_tpu.tasks.svb_vae_task.SVBVAEMleTask"
+    assert cfg["max_tokens"] == 40000
+    assert cfg["max_frames"] == 5000
+    assert cfg["frames_multiple"] == 4
+    # inherited from vc_ppg.yaml
+    assert cfg["mel_strides"] == [2, 1, 1]
+    assert cfg["asr_enc_layers"] == 2
+    # inherited from singing/base.yaml via base_text2mel.yaml
+    assert cfg["hop_size"] == 128
+    assert cfg["fft_size"] == 512
+    assert cfg["mel_loss"] == "ssim:0.5|l1:0.5"
+    # fs2_adv values
+    assert cfg["disc_lr"] == 0.0001
+    assert cfg["optimizer_adam_beta1"] == 0.5
+    # deep-merged nested dict
+    assert cfg["binarization_args"]["with_f0"] is True
+    assert cfg["binarization_args"]["reset_phone_dict"] is True
+    # vae params from the leaf
+    assert cfg["latent_size"] == 128
+    assert cfg["fvae_enc_n_layers"] == 8
+    assert cfg["phase_2_steps"] == 100000
+
+
+def test_para_bin_config():
+    cfg = load_config_recursive(os.path.join(REPO, "egs/datasets/audio/PopBuTFy/para_bin.yaml"))
+    assert cfg["binarizer_cls"].endswith("PopBuTFyENSpkEMBinarizer")
+    assert cfg["max_mel_tech_gap"] == 800
+    assert cfg["spk_emb_num"] == 4
+    assert cfg["binarization_args"]["reset_phone_dict"] is False
+
+
+def test_overrides_typed():
+    cfg = {"a": 1, "b": {"c": 2.0}, "d": [1, 2], "e": True, "s": "x"}
+    apply_overrides(cfg, "a=5,b.c=3.5,d=[4 5 6],e=False,s=hello")
+    assert cfg["a"] == 5
+    assert cfg["b"]["c"] == 3.5
+    assert cfg["d"] == [4, 5, 6]
+    assert cfg["e"] is False
+    assert cfg["s"] == "hello"
+
+
+def test_workdir_persistence(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg_fn = tmp_path / "c.yaml"
+    cfg_fn.write_text("a: 1\nb: 2\n")
+    h = set_hparams(config=str(cfg_fn), exp_name="expX", print_hparams=False)
+    assert h["a"] == 1 and h["work_dir"] == "checkpoints/expX"
+    saved = yaml.safe_load(open("checkpoints/expX/config.yaml"))
+    assert saved["a"] == 1
+    # saved config overlays a changed file unless reset
+    cfg_fn.write_text("a: 99\nb: 2\n")
+    h2 = set_hparams(config=str(cfg_fn), exp_name="expX", print_hparams=False)
+    assert h2["a"] == 1  # saved value wins
+    h3 = set_hparams(config=str(cfg_fn), exp_name="expX", print_hparams=False,
+                     hparams_str="b=7")
+    assert h3["b"] == 7
