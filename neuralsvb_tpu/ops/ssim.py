@@ -1,0 +1,57 @@
+"""Windowed SSIM for mel losses, in JAX.
+
+Matches the reference's pytorch-ssim port (reference:
+modules/commons/ssim.py:306-352): 11x11 separable gaussian window
+(sigma=1.5), SAME zero padding, C1=0.01^2, C2=0.03^2; ``size_average=False``
+returns the per-pixel map averaged over the channel dim.
+
+The gaussian filter is separable, so we run two small 1-D convolutions
+instead of one 2-D conv — fewer FLOPs and friendlier to the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _gaussian_1d(window_size: int, sigma: float) -> np.ndarray:
+    g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2) / (2.0 * sigma ** 2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _blur(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Separable gaussian blur with SAME zero padding over the last two dims.
+    x: [B, H, W]."""
+    k = kernel.shape[0]
+    pad = k // 2
+    # along H
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    xh = sum(xp[:, i:i + x.shape[1], :] * kernel[i] for i in range(k))
+    # along W
+    xp = jnp.pad(xh, ((0, 0), (0, 0), (pad, pad)))
+    return sum(xp[:, :, i:i + x.shape[2]] * kernel[i] for i in range(k))
+
+
+@functools.partial(jax.jit, static_argnames=("window_size", "size_average"))
+def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
+         size_average: bool = True) -> jax.Array:
+    """img1/img2: [B, 1, H, W] (channel dim kept for reference API parity)."""
+    x = img1[:, 0]
+    y = img2[:, 0]
+    kernel = jnp.asarray(_gaussian_1d(window_size, 1.5))
+    mu1 = _blur(x, kernel)
+    mu2 = _blur(y, kernel)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _blur(x * x, kernel) - mu1_sq
+    sigma2_sq = _blur(y * y, kernel) - mu2_sq
+    sigma12 = _blur(x * y, kernel) - mu1_mu2
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))
+    if size_average:
+        return ssim_map.mean()
+    return ssim_map  # [B, H, W] == mean over the single channel

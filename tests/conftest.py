@@ -1,17 +1,29 @@
 """Test configuration: force an 8-device virtual CPU mesh so multi-chip
-sharding paths are exercised without TPU hardware (SURVEY.md section 4)."""
+sharding paths are exercised without TPU hardware (SURVEY.md section 4).
+
+The environment preregisters a remote TPU backend ('axon') via sitecustomize
+for every interpreter; `jax.config.update('jax_platforms', 'cpu')` overrides
+it so tests compile locally and fast.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
 
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", jax.default_backend()
+
+
 @pytest.fixture(scope="session")
 def rng_key():
-    import jax
     return jax.random.PRNGKey(0)

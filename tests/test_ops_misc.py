@@ -1,0 +1,83 @@
+"""SSIM / pitch-utils / CWT tests."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from neuralsvb_tpu.ops import cwt as cwt_ops
+from neuralsvb_tpu.ops.pitch_utils import (F0_BIN, denorm_f0, f0_to_coarse, norm_f0,
+                                           norm_interp_f0)
+from neuralsvb_tpu.ops.ssim import ssim
+
+
+def _torch_ssim(img1, img2, window_size=11):
+    """Independent torch implementation of windowed SSIM (standard formula)."""
+    sigma = 1.5
+    g = torch.exp(-((torch.arange(window_size).float() - window_size // 2) ** 2)
+                  / (2 * sigma ** 2))
+    g = (g / g.sum()).unsqueeze(1)
+    w2d = (g @ g.t()).unsqueeze(0).unsqueeze(0)
+    pad = window_size // 2
+    mu1 = F.conv2d(img1, w2d, padding=pad)
+    mu2 = F.conv2d(img2, w2d, padding=pad)
+    s11 = F.conv2d(img1 * img1, w2d, padding=pad) - mu1 ** 2
+    s22 = F.conv2d(img2 * img2, w2d, padding=pad) - mu2 ** 2
+    s12 = F.conv2d(img1 * img2, w2d, padding=pad) - mu1 * mu2
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    return (((2 * mu1 * mu2 + C1) * (2 * s12 + C2))
+            / ((mu1 ** 2 + mu2 ** 2 + C1) * (s11 + s22 + C2))).mean(1)
+
+
+def test_ssim_matches_torch():
+    rng = np.random.RandomState(0)
+    a = rng.rand(2, 1, 40, 80).astype(np.float32) + 6.0
+    b = a + 0.1 * rng.randn(2, 1, 40, 80).astype(np.float32)
+    ours = np.asarray(ssim(a, b, size_average=False))
+    ref = _torch_ssim(torch.from_numpy(a), torch.from_numpy(b)).numpy()
+    # f32 E[x^2]-E[x]^2 cancellation costs a few e-4 between implementations
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ssim(a, a)), 1.0, atol=1e-5)
+
+
+def test_f0_to_coarse():
+    f0 = np.array([0.0, 50.0, 100.0, 440.0, 1100.0, 2000.0])
+    c = f0_to_coarse(f0)
+    assert c.min() >= 1 and c.max() <= F0_BIN - 1
+    assert c[0] == 1 and c[1] == 1  # fmin maps to bin 1
+    assert c[-1] == F0_BIN - 1  # above fmax clamps
+    assert (np.diff(c[1:]) >= 0).all()  # monotone
+    # jax agrees
+    import jax.numpy as jnp
+    cj = np.asarray(f0_to_coarse(jnp.asarray(f0)))
+    np.testing.assert_array_equal(c, cj)
+
+
+def test_norm_interp_denorm_roundtrip():
+    hp = {"pitch_norm": "standard", "f0_mean": 220.0, "f0_std": 60.0, "use_uv": True}
+    f0 = np.array([0, 0, 200, 230, 0, 260, 0], dtype=np.float64)
+    f0n, uv = norm_interp_f0(f0, hp)
+    assert uv.tolist() == [1, 1, 0, 0, 1, 0, 1]
+    # voiced frames roundtrip through denorm
+    den = denorm_f0(f0n, uv, hp)
+    np.testing.assert_allclose(den[[2, 3, 5]], f0[[2, 3, 5]], atol=1e-4)
+    assert (den[uv > 0] == 0).all()
+    # interpolated frame 4 lies between neighbors
+    mid = norm_f0(np.array([230.0, 260.0]), None, hp)
+    assert mid.min() <= f0n[4] <= mid.max()
+
+
+def test_cwt_shapes_and_inverse():
+    t = np.arange(200)
+    f0 = 220 + 40 * np.sin(2 * np.pi * t / 50) + 10 * np.sin(2 * np.pi * t / 13)
+    f0[:10] = 0
+    f0[50:60] = 0
+    uv, lf0 = cwt_ops.get_cont_lf0(f0)
+    assert (lf0 > 0).all()
+    W, scales = cwt_ops.get_lf0_cwt((lf0 - lf0.mean()) / lf0.std())
+    assert W.shape == (200, 10) and len(scales) == 10
+    norm, mean, std = cwt_ops.norm_scale(W)
+    rec = cwt_ops.inverse_cwt(W[None], scales)[0]
+    # inverse approximately tracks the (normalized) original contour
+    tgt = (lf0 - lf0.mean()) / lf0.std()
+    corr = np.corrcoef(rec, tgt)[0, 1]
+    assert corr > 0.8, corr
