@@ -1,0 +1,64 @@
+"""Native (C++) host kernels, built on demand with g++ and bound via ctypes."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LOCK = threading.Lock()
+_LIB = None
+_BUILD_FAILED = False
+
+
+def _build_lib() -> str | None:
+    src = os.path.join(_HERE, "dtw.cpp")
+    out = os.path.join(_HERE, "libnsvb_native.so")
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", src, "-o", out]
+    try:
+        subprocess.check_call(cmd)
+        return out
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _LIB, _BUILD_FAILED
+    with _LOCK:
+        if _LIB is not None or _BUILD_FAILED:
+            return _LIB
+        path = _build_lib()
+        if path is None:
+            _BUILD_FAILED = True
+            return None
+        lib = ctypes.CDLL(path)
+        lib.dtw_align.restype = ctypes.c_double
+        lib.dtw_align.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def dtw_align_native(cost: np.ndarray):
+    """C++ DTW DP + backtrace. cost: [rows, cols] float. Returns
+    (path [rows] int32, total cost) or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cost = np.ascontiguousarray(cost, dtype=np.float32)
+    rows, cols = cost.shape
+    path = np.zeros(rows, dtype=np.int32)
+    total = lib.dtw_align(
+        cost.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(rows), ctypes.c_int64(cols),
+        path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return path, total
