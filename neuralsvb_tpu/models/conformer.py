@@ -1,0 +1,184 @@
+"""ESPnet-style Conformer encoder with relative positional attention.
+
+Re-design of the reference stack (reference:
+modules/fastspeech/conformer/conformer.py:9-78, conformer/layers.py:7-260,
+modules/commons/espnet_positional_embedding.py:89-112,
+modules/commons/espnet_transformer_attn.py:106-186) in [B, T, C] layout.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import BatchNorm1d, dense
+
+
+def rel_positional_encoding(T: int, dim: int) -> np.ndarray:
+    """Reversed (T-1 ... 0) sinusoidal table, ESPnet RelPositionalEncoding."""
+    pos = np.arange(T - 1, -1, -1.0)[:, None]
+    div = np.exp(np.arange(0, dim, 2) * -(math.log(10000.0) / dim))
+    pe = np.zeros((T, dim), np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return pe
+
+
+class RelPositionMultiHeadedAttention(nn.Module):
+    """Transformer-XL style attention with position bias u/v and rel-shift."""
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, pos_emb, mask=None, train: bool = False):
+        B, T, C = x.shape
+        H, Dh = self.num_heads, C // self.num_heads
+        q = dense(C, name="linear_q")(x).reshape(B, T, H, Dh)
+        k = dense(C, name="linear_k")(x).reshape(B, T, H, Dh)
+        v = dense(C, name="linear_v")(x).reshape(B, T, H, Dh)
+        p = dense(C, use_bias=False, name="linear_pos")(pos_emb).reshape(1, -1, H, Dh)
+
+        pos_bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (H, Dh))
+        pos_bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (H, Dh))
+
+        q_u = (q + pos_bias_u[None, None]).transpose(0, 2, 1, 3)  # [B,H,T,Dh]
+        q_v = (q + pos_bias_v[None, None]).transpose(0, 2, 1, 3)
+        k_t = k.transpose(0, 2, 1, 3)
+        p_t = p.transpose(0, 2, 1, 3)
+
+        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k_t,
+                               preferred_element_type=jnp.float32)
+        matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, p_t,
+                               preferred_element_type=jnp.float32)
+        matrix_bd = self._rel_shift(matrix_bd)
+        scores = (matrix_ac + matrix_bd) / math.sqrt(Dh)
+
+        if mask is not None:
+            # mask: [B, 1, T] True where valid (ESPnet convention)
+            neg = jnp.finfo(scores.dtype).min
+            scores = jnp.where(mask[:, None, :, :] if mask.ndim == 3 else mask,
+                               scores, neg)
+        attn = jax.nn.softmax(scores, -1)
+        if mask is not None:
+            attn = jnp.where(mask[:, None, :, :] if mask.ndim == 3 else mask, attn, 0.0)
+        if self.dropout > 0:
+            attn = nn.Dropout(self.dropout)(attn, deterministic=not train)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v.transpose(0, 2, 1, 3))
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+        return dense(C, name="linear_out")(out)
+
+    @staticmethod
+    def _rel_shift(x):
+        """Shift trick converting position-indexed to offset-indexed scores
+        (ESPnet rel_shift: pad a zero column, reshape, drop first row)."""
+        B, H, T1, T2 = x.shape
+        zero_pad = jnp.zeros((B, H, T1, 1), x.dtype)
+        x_padded = jnp.concatenate([zero_pad, x], -1)
+        x_padded = x_padded.reshape(B, H, T2 + 1, T1)
+        return x_padded[:, :, 1:].reshape(B, H, T1, T2)
+
+
+class ConvolutionModule(nn.Module):
+    """pointwise -> GLU -> depthwise -> BN -> swish -> pointwise."""
+    channels: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(2 * self.channels, (1,))(x)
+        h = nn.glu(h, axis=-1)
+        pad = (self.kernel_size - 1) // 2
+        h = nn.Conv(self.channels, (self.kernel_size,), padding=[(pad, pad)],
+                    feature_group_count=self.channels)(h)
+        h = BatchNorm1d()(h, train=train)
+        h = nn.swish(h)
+        return nn.Conv(self.channels, (1,))(h)
+
+
+class MultiLayeredConv1d(nn.Module):
+    """Positionwise two-conv FFN."""
+    hidden_chans: int
+    out_chans: int
+    kernel_size: int = 1
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = (self.kernel_size - 1) // 2
+        h = nn.Conv(self.hidden_chans, (self.kernel_size,), padding=[(pad, pad)])(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        return nn.Conv(self.out_chans, (self.kernel_size,), padding=[(pad, pad)])(h)
+
+
+class ConformerEncoderLayer(nn.Module):
+    """Macaron FFN + rel-pos MHA + conv module + FFN, all pre-norm."""
+    hidden_size: int
+    kernel_size: int
+    num_heads: int = 4
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, pos_emb, mask=None, train: bool = False):
+        drop = lambda h: nn.Dropout(self.dropout)(h, deterministic=not train)
+        ff_scale = 0.5
+        # macaron FFN
+        res = x
+        h = nn.LayerNorm(name="norm_ff_macaron")(x)
+        h = MultiLayeredConv1d(self.hidden_size * 4, self.hidden_size, 1,
+                               self.dropout, name="ff_macaron")(h, train=train)
+        x = res + ff_scale * drop(h)
+        # MHA
+        res = x
+        h = nn.LayerNorm(name="norm_mha")(x)
+        h = RelPositionMultiHeadedAttention(self.num_heads, 0.0, name="self_attn")(
+            h, pos_emb, mask=mask, train=train)
+        x = res + drop(h)
+        # conv module
+        res = x
+        h = nn.LayerNorm(name="norm_conv")(x)
+        h = ConvolutionModule(self.hidden_size, self.kernel_size, name="conv_module")(
+            h, train=train)
+        x = res + drop(h)
+        # FFN
+        res = x
+        h = nn.LayerNorm(name="norm_ff")(x)
+        h = MultiLayeredConv1d(self.hidden_size * 4, self.hidden_size, 1,
+                               self.dropout, name="ff")(h, train=train)
+        x = res + ff_scale * drop(h)
+        return nn.LayerNorm(name="norm_final")(x)
+
+
+class ConformerLayers(nn.Module):
+    """Stack of conformer layers over [B, T, H]; padding inferred from
+    all-zero frames like the reference (conformer.py:47)."""
+    hidden_size: int
+    num_layers: int
+    kernel_size: int = 31
+    num_heads: int = 4
+    dropout: float = 0.1
+    use_last_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nonpadding = (jnp.abs(x).sum(-1) > 0)  # [B, T]
+        mask = nonpadding[:, None, :]  # [B, 1, T] valid positions
+        T = x.shape[1]
+        pos_emb = jnp.asarray(rel_positional_encoding(T, self.hidden_size))[None]
+        h = x * math.sqrt(self.hidden_size)
+        h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        pos_emb = nn.Dropout(self.dropout)(pos_emb, deterministic=not train)
+        for i in range(self.num_layers):
+            h = ConformerEncoderLayer(self.hidden_size, self.kernel_size,
+                                      self.num_heads, self.dropout,
+                                      name=f"layer_{i}")(h, pos_emb, mask=mask, train=train)
+        if self.use_last_norm:
+            h = nn.LayerNorm(name="last_norm")(h)
+        else:
+            h = dense(self.hidden_size, name="last_proj")(h)
+        return h * nonpadding[:, :, None].astype(h.dtype)
