@@ -107,7 +107,8 @@ class FVAEDecoder(nn.Module):
             x = jnp.repeat(x, g.shape[1] // stride_total, axis=1)
         for i, s in enumerate(self.strides):
             x = nn.ConvTranspose(self.hidden_channels, (s,), strides=(s,),
-                                 padding="VALID", name=f"pre_{i}")(x)
+                                 padding="VALID", transpose_kernel=True,
+                                 name=f"pre_{i}")(x)
         x = x * x_mask
         x = WN(self.hidden_channels, self.kernel_size, 1, self.n_layers,
                self.gin_channels, name="wn")(x, x_mask, g, train=train) * x_mask
