@@ -159,3 +159,36 @@ def convert_pwg(ckpt_path: str, model) -> Dict[str, Any]:
     p["last_conv_0"] = _conv(sd, "last_conv_layers.1")
     p["last_conv_1"] = _conv(sd, "last_conv_layers.3")
     return p
+
+
+# ---------------------------------------------------------------------------
+# GE2E speaker encoder (Resemblyzer VoiceEncoder)
+# ---------------------------------------------------------------------------
+
+def lstm_layer_to_flax(w_ih, w_hh, b_ih, b_hh) -> Dict[str, Any]:
+    """torch LSTM layer -> flax OptimizedLSTMCell params.
+
+    torch packs gates [4h, in] in order (i, f, g, o) and uses two biases;
+    flax keeps one Dense per gate, bias only on the hidden projections.
+    """
+    h = w_hh.shape[1]
+    gates = ["i", "f", "g", "o"]
+    p: Dict[str, Any] = {}
+    for gi, g in enumerate(gates):
+        sl = slice(gi * h, (gi + 1) * h)
+        p[f"i{g}"] = {"kernel": np.ascontiguousarray(w_ih[sl].T)}
+        p[f"h{g}"] = {"kernel": np.ascontiguousarray(w_hh[sl].T),
+                      "bias": b_ih[sl] + b_hh[sl]}
+    return p
+
+
+def convert_ge2e(ckpt_path: str) -> Dict[str, Any]:
+    """Resemblyzer pretrained.pt -> flax VoiceEncoder params."""
+    sd = load_state_dict(ckpt_path)
+    p: Dict[str, Any] = {}
+    for layer in range(3):
+        p[f"lstm_{layer}"] = {"cell": lstm_layer_to_flax(
+            sd[f"lstm.weight_ih_l{layer}"], sd[f"lstm.weight_hh_l{layer}"],
+            sd[f"lstm.bias_ih_l{layer}"], sd[f"lstm.bias_hh_l{layer}"])}
+    p["linear"] = linear_to_flax(sd["linear.weight"], sd.get("linear.bias"))
+    return p
