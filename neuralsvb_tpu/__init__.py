@@ -17,3 +17,12 @@ Layer map mirrors SURVEY.md section 1: hparams (L0), ops/utils (L1), models
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("NSVB_PLATFORM"):
+    # Force a JAX platform (e.g. NSVB_PLATFORM=cpu for host-only smoke runs)
+    # before any backend is initialized. Overrides ambient plugin registration.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["NSVB_PLATFORM"])

@@ -82,6 +82,11 @@ class MultiWindowDiscriminator(nn.Module):
         starts_out = []
         if start_frames_wins is None:
             start_frames_wins = [None] * len(self.time_lengths)
+        # static-shape equivalent of the reference's T_end < 0 skip
+        # (multi_window_disc.py:138-141): if ANY window exceeds the padded
+        # length, the whole discriminator abstains (validity None).
+        if any(win > T for win in self.time_lengths):
+            return None, starts_out, hiddens
         for i, win in enumerate(self.time_lengths):
             t_end = jnp.maximum(x_len.max() - win, 0)
             start = start_frames_wins[i]

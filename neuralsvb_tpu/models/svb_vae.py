@@ -131,7 +131,8 @@ class SVBVAE(nn.Module):
     def __call__(self, amateur_mel, prof_mel, amateur_pitch, prof_pitch,
                  spk_emb, a2p_alignment=None, concurrent_ways: Tuple[str, ...] = (),
                  infer: bool = False, disable_map: bool = False,
-                 train: bool = False, tech_ids: Optional[Tuple[int, int]] = None):
+                 train: bool = False, map_train: Optional[bool] = None,
+                 tech_ids: Optional[Tuple[int, int]] = None):
         """Returns {way: outputs}. ``concurrent_ways`` must be static.
         ``spk_emb``: [B, 256] — the same (amateur) speaker embedding is used
         for both sides, as in the reference task (svb_vae_task.py:146)."""
@@ -153,8 +154,9 @@ class SVBVAE(nn.Module):
                                       prior_mean=prior_p)
             ret["p2p"] = p2p_out
         if "a2p" in concurrent_ways:
+            mt = train if map_train is None else map_train
             ret["a2p"] = self._a2p(a2a_out, p2p_out, amateur_conds, prof_conds,
-                                   a2p_alignment, disable_map, train)
+                                   a2p_alignment, disable_map, train, mt)
         return ret
 
     # ------------------------------------------------------------------
@@ -168,7 +170,9 @@ class SVBVAE(nn.Module):
         return self._cond_sum(prof_conds["h_pitch"], gathered, style)
 
     def _a2p(self, a2a_out, p2p_out, amateur_conds, prof_conds, a2p_alignment,
-             disable_map, train):
+             disable_map, train, map_train=None):
+        if map_train is None:
+            map_train = train
         out: Dict[str, Any] = {}
         prof_m_q, prof_logs_q = p2p_out["m_q"], p2p_out["logs_q"]
         cond_a2p = self._gathered_cond(amateur_conds, prof_conds, a2p_alignment)
@@ -185,8 +189,8 @@ class SVBVAE(nn.Module):
             if disable_map:
                 m_map, logs_map = m_a, logs_a
             else:
-                m_map = self.m_mapping_function(m_a, style_a, train=train)
-                logs_map = self.logs_mapping_function(logs_a, style_a, train=train)
+                m_map = self.m_mapping_function(m_a, style_a, train=map_train)
+                logs_map = self.logs_mapping_function(logs_a, style_a, train=map_train)
             kl = gaussian_kl(m_map, logs_map, prof_m_q, prof_logs_q)
             msk = p2p_out["x_mask_sqz"]
             out["kl"] = (kl * msk).sum() / msk.sum() / kl.shape[-1]
@@ -200,8 +204,8 @@ class SVBVAE(nn.Module):
             if disable_map:
                 m_map, logs_map = m_a, logs_a
             else:
-                m_map = self.m_mapping_function(m_a, style_a, train=train)
-                logs_map = self.logs_mapping_function(logs_a, style_a, train=train)
+                m_map = self.m_mapping_function(m_a, style_a, train=map_train)
+                logs_map = self.logs_mapping_function(logs_a, style_a, train=map_train)
             kl = gaussian_kl(m_map, logs_map, prof_m_q, prof_logs_q)
             out["kl"] = kl.sum() / kl.shape[0] / kl.shape[-1]
             out["mel_out"] = self.vae_model.decoder(m_map, mask_p, cond_a2p, train=train)
@@ -214,7 +218,7 @@ class SVBVAE(nn.Module):
             if disable_map:
                 z_map = z_a
             else:
-                z_map = self.z_mapping_function(z_a, style_a, train=train)
+                z_map = self.z_mapping_function(z_a, style_a, train=map_train)
             logp = normal_log_prob(z_map, prof_m_q, prof_logs_q)
             out["mle"] = -logp.sum() / z_map.shape[0] / z_map.shape[-1]
             out["mel_out"] = self.vae_model.decoder(z_map, mask_p, cond_a2p, train=train)

@@ -1,0 +1,643 @@
+"""SVB VAE tasks: the 3-optimizer (generator / discriminator / latent-map)
+adversarial VAE training machine and its a2a/p2p/a2p inference pipeline.
+
+Re-design of the reference task hierarchy (reference:
+tasks/singing/svb_vae_task.py:48-726, tasks/singing/svb_para.py:118-170,
+tasks/tts/fs2.py:150-176) for SPMD TPU execution:
+
+- The host-side phase machine (phase1/2/3 by global_step,
+  svb_vae_task.py:587-595) selects one of a small set of **statically
+  specialized jitted step functions** (ways and disc participation are
+  compile-time constants), instead of python branching inside the step.
+- Each optimizer has its own step: grads are taken w.r.t. the full model
+  params, but only that optimizer's top-level param subtrees are updated
+  (mirrors the reference's freeze-all-but-current-optimizer loop,
+  utils/trainer.py:275-285; ``find_unused_parameters`` becomes unnecessary).
+- The generator step returns the detached fake mels the discriminator step
+  consumes (the reference's ``self.model_out_gt`` handoff,
+  svb_vae_task.py:606-612).
+- Data parallelism: the batch is sharded over a 1-D ``data`` mesh; XLA
+  inserts the gradient all-reduce (SURVEY.md section 5.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from multiprocessing.pool import ThreadPool
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..hparams import hparams
+from ..models.disc import Discriminator
+from ..models.svb_vae import SVBVAE
+from ..ops.pitch_utils import denorm_f0
+from ..ops.ssim import ssim as ssim_fn
+from ..parallel.mesh import make_mesh, replicate_state, shard_batch
+from ..training.checkpoint import load_sub_params
+from ..training.schedulers import rsqrt_schedule, step_lr_schedule
+from .base_task import BaseTask
+
+WAYS = ("a2a", "p2p", "a2p")
+
+
+def nan_guard(x):
+    """NaN/Inf losses contribute value but no gradient
+    (reference: svb_vae_task.py:665-672)."""
+    return jnp.where(jnp.isfinite(x), x, jax.lax.stop_gradient(x))
+
+
+def weights_nonzero_speech(target):
+    """[B, T, 80] -> same-shape 0/1 weights (reference: tts.py:127-131)."""
+    w = (jnp.abs(target).sum(-1, keepdims=True) > 0).astype(target.dtype)
+    return jnp.broadcast_to(w, target.shape)
+
+
+def l1_mel_loss(out, target):
+    w = weights_nonzero_speech(target)
+    return (jnp.abs(out - target) * w).sum() / w.sum()
+
+
+def ssim_mel_loss(out, target, bias=6.0):
+    w = weights_nonzero_speech(target)
+    s = ssim_fn(out[:, None] + bias, target[:, None] + bias, size_average=False)
+    return ((1 - s) * w).sum() / w.sum()
+
+
+def parse_mel_losses(spec: str) -> Dict[str, float]:
+    """'ssim:0.5|l1:0.5' -> {'ssim': 0.5, 'l1': 0.5} (reference: fs2.py:34-44)."""
+    out = {}
+    for part in spec.split("|"):
+        if not part:
+            continue
+        if ":" in part:
+            name, lbd = part.split(":")
+            out[name] = float(lbd)
+        else:
+            out[part] = 1.0
+    return out
+
+
+def add_mel_loss(loss_and_lambda, out, target, losses, postfix=""):
+    for name, lbd in loss_and_lambda.items():
+        if name == "l1":
+            l = l1_mel_loss(out, target)
+        elif name == "ssim":
+            l = ssim_mel_loss(out, target)
+        else:
+            raise NotImplementedError(name)
+        losses[f"{name}{postfix}"] = l * lbd
+
+
+def mse(x, target_value):
+    return ((x - target_value) ** 2).mean()
+
+
+class SVBVAETaskBase(BaseTask):
+    """Shared machinery; subclasses pick the model variant and loss keys."""
+
+    variant = "mle"
+    num_optimizers = 3
+
+    def __init__(self):
+        super().__init__()
+        from ..data.datasets import MultiSpkEmbDataset
+        self.dataset_cls = MultiSpkEmbDataset
+        self.mesh = make_mesh(hparams.get("mesh_shape", ""))
+        self.n_devices = int(np.prod(self.mesh.devices.shape))
+        self.loss_and_lambda = parse_mel_losses(hparams["mel_loss"])
+        self._rng = jax.random.PRNGKey(hparams.get("seed", 1234))
+        self._np_rng = np.random.RandomState(hparams.get("seed", 1234))
+        self._step_cache: Dict = {}
+        self.vocoder = None
+        self.saving_result_pool = None
+
+    # ------------------------------------------------------------------
+    def _next_rng(self, n=1):
+        self._rng, *subs = jax.random.split(self._rng, n + 1)
+        return subs[0] if n == 1 else subs
+
+    def _dict_size(self):
+        fn = os.path.join(hparams["binary_data_dir"], "phone_set.json")
+        if os.path.exists(fn):
+            return len(json.load(open(fn))) + 10
+        print(f"| WARNING: {fn} missing; defaulting ASR dict size to 100.")
+        return 100
+
+    def build_model(self):
+        hp = hparams
+        self.model = SVBVAE(
+            dict_size=self._dict_size(),
+            hidden_size=hp["hidden_size"],
+            num_mel_bins=hp["audio_num_mel_bins"],
+            latent_size=hp["latent_size"],
+            fvae_hidden=hp["fvae_enc_dec_hidden"],
+            fvae_kernel=hp["fvae_kernel_size"],
+            fvae_enc_layers=hp["fvae_enc_n_layers"],
+            fvae_dec_layers=hp["fvae_dec_n_layers"],
+            frames_multiple=hp["frames_multiple"],
+            mel_strides=tuple(hp["mel_strides"]),
+            asr_enc_layers=hp["asr_enc_layers"],
+            asr_dec_layers=hp["asr_dec_layers"],
+            asr_last_norm=hp["asr_last_norm"],
+            variant=self.variant,
+        )
+        self.mel_disc = Discriminator(
+            time_lengths=tuple([32, 64, 128][: hp["disc_win_num"]]),
+            freq_length=hp["audio_num_mel_bins"],
+            hidden_size=hp["mel_disc_hidden_size"],
+            norm_type=hp["disc_norm"],
+            reduction=hp["disc_reduction"],
+            cond_size=hp["hidden_size"] if hp["use_cond_disc"] else 0,
+        )
+        self._init_params()
+        self._build_optimizers()
+        self._mapping_keys = self._get_mapping_keys()
+        return self.model
+
+    def _get_mapping_keys(self):
+        if self.variant == "mle":
+            return ("z_mapping_function",)
+        return ("m_mapping_function", "logs_mapping_function")
+
+    def _gen_key_filter(self, key: str) -> bool:
+        return key != "vc_asr" and key not in self._get_mapping_keys()
+
+    def _dummy_batch(self, B=2, T=32):
+        bins = hparams["audio_num_mel_bins"]
+        return dict(
+            mels=np.zeros((B, T, bins), np.float32),
+            prof_mels=np.zeros((B, T, bins), np.float32),
+            pitch=np.ones((B, T), np.int32),
+            prof_pitch=np.ones((B, T), np.int32),
+            a2p_f0_alignment=np.zeros((B, T), np.int32),
+            spk_emb=np.zeros((B, 256), np.float32),
+        )
+
+    def _init_params(self):
+        b = self._dummy_batch()
+        rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+        rngs["dropout"] = jax.random.PRNGKey(7)
+        variables = self.model.init(
+            rngs, b["mels"], b["prof_mels"], b["pitch"], b["prof_pitch"],
+            b["spk_emb"], b["a2p_f0_alignment"], concurrent_ways=WAYS)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        # warm-start the frozen PPG extractor (reference: svb_vae_task.py:558)
+        asr_ckpt = hparams.get("pretrain_asr_ckpt", "")
+        if asr_ckpt:
+            from flax import serialization
+            loaded = load_sub_params(params["vc_asr"], asr_ckpt,
+                                     key_path=("state", "params", "vc_asr"))
+            params = dict(params)
+            params["vc_asr"] = serialization.from_state_dict(
+                variables["params"]["vc_asr"], loaded)
+        disc_rngs = {"params": jax.random.PRNGKey(2), "disc": jax.random.PRNGKey(3)}
+        disc_dummy = np.zeros(
+            (2, 2 * max(self.mel_disc.time_lengths), hparams["audio_num_mel_bins"]),
+            np.float32)
+        disc_rngs["dropout"] = jax.random.PRNGKey(5)
+        disc_vars = self.mel_disc.init(disc_rngs, disc_dummy, train=True)
+        self.state = {
+            "params": params,
+            "batch_stats": batch_stats,
+            "disc_params": disc_vars["params"],
+            "disc_batch_stats": disc_vars.get("batch_stats", {}),
+        }
+
+    # ------------------------------------------------------------------
+    def _build_optimizers(self):
+        hp = hparams
+
+        def adamw(clip, b1, b2, eps=1e-8, wd=0.0):
+            return optax.chain(
+                optax.clip_by_global_norm(clip) if clip > 0 else optax.identity(),
+                optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+                optax.add_decayed_weights(wd),
+            )
+
+        b1, b2 = hp["optimizer_adam_beta1"], hp["optimizer_adam_beta2"]
+        disc_p = hp.get("discriminator_optimizer_params", {})
+        self.tx_gen = adamw(hp.get("generator_grad_norm", 0), b1, b2,
+                            wd=hp.get("weight_decay", 0.0))
+        self.tx_disc = adamw(hp.get("discriminator_grad_norm", 0), b1, b2,
+                             eps=disc_p.get("eps", 1e-8),
+                             wd=disc_p.get("weight_decay", 0.0))
+        self.tx_map = adamw(hp.get("generator_grad_norm", 0), b1, b2,
+                            wd=hp.get("weight_decay", 0.0))
+        self.sched_gen = (rsqrt_schedule(hp["lr"], hp["warmup_updates"],
+                                         hp["hidden_size"])
+                          if hp["scheduler"] == "rsqrt" else lambda s: hp["lr"])
+        dsp = hp.get("discriminator_scheduler_params", {"step_size": 60000, "gamma": 0.5})
+        self.sched_disc = step_lr_schedule(hp["disc_lr"], dsp["step_size"], dsp["gamma"])
+        msp = hp.get("map_scheduler_params", {"step_size": 60000, "gamma": 0.5})
+        self.sched_map = step_lr_schedule(hp["map_lr"], msp["step_size"], msp["gamma"])
+
+        gen_sub = {k: v for k, v in self.state["params"].items()
+                   if self._gen_key_filter(k)}
+        map_sub = {k: self.state["params"][k] for k in self._get_mapping_keys()}
+        self.state["opt_gen"] = self.tx_gen.init(gen_sub)
+        self.state["opt_disc"] = self.tx_disc.init(self.state["disc_params"])
+        self.state["opt_map"] = self.tx_map.init(map_sub)
+        self.state = replicate_state(self.state, self.mesh)
+
+    def state_template(self):
+        return self.state
+
+    def get_state(self):
+        return jax.device_get(self.state)
+
+    def set_state(self, state):
+        self.state = replicate_state(state, self.mesh)
+
+    # ------------------------------------------------------------------
+    # phases (reference: svb_vae_task.py:587-595)
+    def phase_and_ways(self, step: int) -> Tuple[int, Tuple[str, ...]]:
+        hp = hparams
+        if step <= hp["phase_1_steps"]:
+            return 1, tuple(hp["phase_1_concurrent_ways"].split(","))
+        if hp["phase_1_steps"] < step <= hp["phase_2_steps"]:
+            return 2, tuple(hp["phase_2_concurrent_ways"].split(","))
+        return 3, tuple(hp["phase_3_concurrent_ways"].split(","))
+
+    def _disc_start(self, step: int) -> bool:
+        return (hparams["mel_gan"] and step > hparams["disc_start_steps"]
+                and hparams["lambda_mel_adv"] > 0)
+
+    # ------------------------------------------------------------------
+    # loss core shared by gen/map/val paths
+    def _model_losses(self, out, batch, ways, losses):
+        hp = hparams
+        for way in ways:
+            mel_g = batch["prof_mels"] if way in ("p2p", "a2p") else batch["mels"]
+            if "kl" in out[way]:
+                losses[f"{way}_kl"] = nan_guard(out[way]["kl"]) * hp["lambda_kl"]
+            if way == "a2p" and hp["cross_way_no_recon_loss"]:
+                pass
+            else:
+                add_mel_loss(self.loss_and_lambda, out[way]["mel_out"], mel_g,
+                             losses, postfix=way)
+        return losses
+
+    def _apply_model(self, params, batch_stats, batch, ways, rng, train,
+                     map_train=None, mutable=False):
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = dict(concurrent_ways=ways, train=train)
+        if map_train is not None:
+            kwargs["map_train"] = map_train
+        kwargs["disable_map"] = bool(hparams.get("disable_map", False))
+        k_noise, k_drop = jax.random.split(rng)
+        return self.model.apply(
+            variables, batch["mels"], batch["prof_mels"], batch["pitch"],
+            batch["prof_pitch"], batch["spk_emb"], batch["a2p_f0_alignment"],
+            rngs={"noise": k_noise, "dropout": k_drop},
+            mutable=["batch_stats"] if mutable else False, **kwargs)
+
+    # ------------------------------------------------------------------
+    # jitted steps (cached per (kind, ways, disc_on))
+    def _get_step(self, kind: str, ways: Tuple[str, ...], disc_on: bool):
+        key = (kind, ways, disc_on)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        fn = {"gen": self._make_gen_step, "disc": self._make_disc_step,
+              "map": self._make_map_step}[kind](ways, disc_on)
+        self._step_cache[key] = fn
+        return fn
+
+    def _make_gen_step(self, ways, disc_on):
+        hp = hparams
+        lam_adv = hp["lambda_mel_adv"]
+
+        @partial(jax.jit, donate_argnums=(0,), static_argnums=())
+        def gen_step(state, batch, rng, lr):
+            k_noise, k_disc = jax.random.split(rng)
+
+            def loss_fn(params):
+                out, mut = self._apply_model(params, state["batch_stats"], batch,
+                                             ways, k_noise, train=True, mutable=True)
+                losses: Dict[str, Any] = {}
+                self._model_losses(out, batch, ways, losses)
+                if disc_on:
+                    for i, way in enumerate(ways):
+                        o = self.mel_disc.apply(
+                            {"params": state["disc_params"],
+                             "batch_stats": state["disc_batch_stats"]},
+                            out[way]["mel_out"],
+                            rngs={"disc": jax.random.fold_in(k_disc, i)})
+                        if o["y"] is not None:
+                            losses[f"{way}_a"] = mse(o["y"], 1.0) * lam_adv
+                total = sum(losses.values())
+                fakes = {w: jax.lax.stop_gradient(out[w]["mel_out"]) for w in ways}
+                return total, (losses, mut["batch_stats"], fakes)
+
+            grads, (losses, new_stats, fakes) = jax.grad(
+                loss_fn, has_aux=True)(state["params"])
+            gen_grads = {k: v for k, v in grads.items() if self._gen_key_filter(k)}
+            gen_params = {k: v for k, v in state["params"].items()
+                          if self._gen_key_filter(k)}
+            updates, new_opt = self.tx_gen.update(gen_grads, state["opt_gen"],
+                                                  gen_params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            new_gen = optax.apply_updates(gen_params, updates)
+            params = dict(state["params"])
+            params.update(new_gen)
+            state = dict(state)
+            state.update(params=params, batch_stats=new_stats, opt_gen=new_opt)
+            return state, losses, fakes
+
+        return gen_step
+
+    def _make_disc_step(self, ways, disc_on):
+        @partial(jax.jit, donate_argnums=(0,))
+        def disc_step(state, batch, fakes, rng, lr):
+            def loss_fn(disc_params):
+                losses = {}
+                mut_stats = state["disc_batch_stats"]
+                for i, way in enumerate(ways):
+                    mel_g = batch["prof_mels"] if way in ("p2p", "a2p") else batch["mels"]
+                    kr, kf = jax.random.split(jax.random.fold_in(rng, i))
+                    kr, kr_d = jax.random.split(kr)
+                    kf, kf_d = jax.random.split(kf)
+                    o_real, m1 = self.mel_disc.apply(
+                        {"params": disc_params, "batch_stats": mut_stats},
+                        mel_g, train=True, rngs={"disc": kr, "dropout": kr_d},
+                        mutable=["batch_stats"])
+                    mut_stats = m1["batch_stats"]
+                    o_fake, m2 = self.mel_disc.apply(
+                        {"params": disc_params, "batch_stats": mut_stats},
+                        fakes[way], train=True, rngs={"disc": kf, "dropout": kf_d},
+                        mutable=["batch_stats"])
+                    mut_stats = m2["batch_stats"]
+                    if o_real["y"] is not None:
+                        losses[f"{way}_r"] = mse(o_real["y"], 1.0)
+                    if o_fake["y"] is not None:
+                        losses[f"{way}_f"] = mse(o_fake["y"], 0.0)
+                total = sum(losses.values()) if losses else jnp.zeros(())
+                return total, (losses, mut_stats)
+
+            grads, (losses, new_stats) = jax.grad(
+                loss_fn, has_aux=True)(state["disc_params"])
+            updates, new_opt = self.tx_disc.update(grads, state["opt_disc"],
+                                                   state["disc_params"])
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            new_disc = optax.apply_updates(state["disc_params"], updates)
+            state = dict(state)
+            state.update(disc_params=new_disc, disc_batch_stats=new_stats,
+                         opt_disc=new_opt)
+            return state, losses
+
+        return disc_step
+
+    def _make_map_step(self, ways, disc_on):
+        hp = hparams
+        lam_adv, lam_mle = hp["lambda_mel_adv"], hp.get("lambda_mle", 1.0)
+        all_ways = tuple(dict.fromkeys(("a2a", "p2p") + ways))
+        kl_or_mle = "mle" if self.variant == "mle" else "kl"
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def map_step(state, batch, rng, lr):
+            k_noise, k_disc = jax.random.split(rng)
+
+            def loss_fn(params):
+                out, mut = self._apply_model(params, state["batch_stats"], batch,
+                                             all_ways, k_noise, train=False,
+                                             map_train=True, mutable=True)
+                losses: Dict[str, Any] = {}
+                self._model_losses(out, batch, all_ways, losses)
+                for way in ways:
+                    if way not in ("a2a", "p2p"):
+                        if kl_or_mle in out[way]:
+                            losses[f"{way}_{kl_or_mle}"] = \
+                                nan_guard(out[way][kl_or_mle]) * lam_mle
+                        if disc_on and not hp["cross_way_no_disc_loss"]:
+                            sample_key = ("a2p_sample_recon"
+                                          if "a2p_sample_recon" in out[way]
+                                          else "mel_out")
+                            o = self.mel_disc.apply(
+                                {"params": state["disc_params"],
+                                 "batch_stats": state["disc_batch_stats"]},
+                                out[way][sample_key], rngs={"disc": k_disc})
+                            if o["y"] is not None:
+                                losses[f"{way}_a"] = mse(o["y"], 1.0) * lam_adv
+                total = sum(losses.values())
+                return total, (losses, mut["batch_stats"])
+
+            grads, (losses, new_stats) = jax.grad(
+                loss_fn, has_aux=True)(state["params"])
+            map_keys = self._get_mapping_keys()
+            map_grads = {k: grads[k] for k in map_keys}
+            map_params = {k: state["params"][k] for k in map_keys}
+            updates, new_opt = self.tx_map.update(map_grads, state["opt_map"],
+                                                  map_params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            new_map = optax.apply_updates(map_params, updates)
+            params = dict(state["params"])
+            params.update(new_map)
+            # keep only mapping batch-stats updates (rest of the model is eval)
+            merged_stats = dict(state["batch_stats"])
+            for k in map_keys:
+                if k in new_stats:
+                    merged_stats[k] = new_stats[k]
+            state = dict(state)
+            state.update(params=params, batch_stats=merged_stats, opt_map=new_opt)
+            return state, losses
+
+        return map_step
+
+    # ------------------------------------------------------------------
+    def _prep_batch(self, batch, infer: bool = False):
+        """Pick a random spk emb (reference: svb_vae_task.py:139-143) and
+        shard onto the mesh (training only; eval batches may not divide the
+        mesh, e.g. batch_size 1 at inference)."""
+        idx = 0 if infer else self._np_rng.randint(1, batch["multi_spk_emb"].shape[1])
+        b = {
+            "mels": batch["mels"], "prof_mels": batch["prof_mels"],
+            "pitch": batch["pitch"].astype(np.int32),
+            "prof_pitch": batch["prof_pitch"].astype(np.int32),
+            "a2p_f0_alignment": batch["a2p_f0_alignment"].astype(np.int32),
+            "spk_emb": batch["multi_spk_emb"][:, idx],
+        }
+        if infer:
+            return b
+        return shard_batch(b, self.mesh)
+
+    def training_step(self, batch, step: int, optimizer_idx: int):
+        phase, ways = self.phase_and_ways(step)
+        disc_on = self._disc_start(step)
+        if optimizer_idx == 0:
+            if phase == 3:
+                return None
+            b = self._prep_batch(batch)
+            fn = self._get_step("gen", ways, disc_on)
+            lr = self.sched_gen(step)
+            self.state, losses, fakes = fn(self.state, b, self._next_rng(), lr)
+            self._last_fakes, self._last_batch = fakes, b
+            losses = dict(losses)
+            losses["lr_0"] = lr
+            return sum(v for k, v in losses.items() if k != "lr_0"), losses
+        if optimizer_idx == 1:
+            if phase == 3 or not disc_on or \
+                    step % hparams["disc_interval"] != 0 or \
+                    not hasattr(self, "_last_fakes"):
+                return None
+            fn = self._get_step("disc", ways, disc_on)
+            lr = self.sched_disc(max(step - hparams["disc_start_steps"], 1))
+            self.state, losses = fn(self.state, self._last_batch,
+                                    self._last_fakes, self._next_rng(), lr)
+            losses = dict(losses)
+            losses["lr_1"] = lr
+            return sum(v for k, v in losses.items() if k != "lr_1"), losses
+        if optimizer_idx == 2:
+            if phase != 3:
+                return None
+            b = self._prep_batch(batch)
+            fn = self._get_step("map", ways, disc_on)
+            lr = self.sched_map(step)
+            self.state, losses = fn(self.state, b, self._next_rng(), lr)
+            losses = dict(losses)
+            losses["lr_2"] = lr
+            return sum(v for k, v in losses.items() if k != "lr_2"), losses
+        return None
+
+    # ------------------------------------------------------------------
+    def _val_ways(self, step: int) -> Tuple[str, ...]:
+        hp = hparams
+        if step <= hp["phase_1_steps"]:
+            return ("p2p",)
+        if step <= hp["phase_2_steps"]:
+            return ("a2a", "p2p")
+        return ("a2a", "p2p", "a2p")
+
+    def _eval_forward(self, batch, ways):
+        b = self._prep_batch(batch, infer=True)
+        state = self.state
+        out = self._apply_model(state["params"], state["batch_stats"], b, ways,
+                                self._next_rng(), train=False)
+        losses: Dict[str, Any] = {}
+        self._model_losses(out, b, ways, losses)
+        for way in ways:
+            if "mle" in out.get(way, {}):
+                losses[f"{way}_mle"] = out[way]["mle"]
+        return out, losses, b
+
+    def validation_step(self, batch, batch_idx: int):
+        ways = self._val_ways(self.global_step)
+        _, losses, _ = self._eval_forward(batch, ways)
+        losses = {k: float(v) for k, v in losses.items()}
+        return {"losses": losses, "total_loss": sum(losses.values()),
+                "nsamples": batch["nsamples"]}
+
+    # ------------------------------------------------------------------
+    def test_start(self):
+        from ..vocoders.base import get_vocoder_cls
+        self.saving_result_pool = ThreadPool(8)
+        self.saving_results_futures = []
+        self.vocoder = get_vocoder_cls(hparams)(dict(hparams))
+        self.results_id = 0
+
+    def test_step(self, batch, batch_idx: int):
+        assert batch["nsamples"] == 1, "inference supports batch_size=1"
+        out, _, b = self._eval_forward(batch, WAYS)
+        f0s = {
+            "a2a": denorm_f0(batch["f0"], batch["uv"], hparams),
+            "p2p": denorm_f0(batch["prof_f0"], batch["prof_uv"], hparams),
+        }
+        f0s["a2p"] = f0s["p2p"]
+        Ta = int(batch["mel_lengths"][0])
+        Tp = int(batch["prof_mel_lengths"][0])
+        lens = {"a2a": Ta, "p2p": Tp, "a2p": Tp}
+        item_name = batch["item_name"][0]
+        gen_dir = os.path.join(
+            hparams["work_dir"],
+            f"generated_{self.global_step}_{hparams['gen_dir_name']}")
+        prefix = "disable_map_" if hparams.get("disable_map") else ""
+        wavs_dict = {
+            "gt_a_wavout": self.vocoder.spec2wav(
+                np.asarray(batch["mels"][0][:Ta]), f0=np.asarray(f0s["a2a"][0][:Ta])),
+            "gt_p_wavout": self.vocoder.spec2wav(
+                np.asarray(batch["prof_mels"][0][:Tp]), f0=np.asarray(f0s["p2p"][0][:Tp])),
+        }
+        mels_dict = {"gt_a_mel": np.asarray(batch["mels"][0][:Ta]),
+                     "gt_p_mel": np.asarray(batch["prof_mels"][0][:Tp])}
+        for way in WAYS:
+            L = lens[way]
+            mel = np.asarray(out[way]["mel_out"][0][:L])
+            wavs_dict[f"{way}_wavout"] = self.vocoder.spec2wav(
+                mel, f0=np.asarray(f0s[way][0][:L]))
+            mels_dict[f"{way}_mel"] = mel
+        base_fn = f"[{self.results_id:06d}][{item_name}][P]".replace(" ", "_")
+        self.results_id += 1
+        self.saving_results_futures.append(self.saving_result_pool.apply_async(
+            self.save_result, args=[wavs_dict, base_fn, gen_dir, mels_dict, prefix]))
+        return {"item_name": item_name}
+
+    @staticmethod
+    def save_result(wavs_dict, base_fn, gen_dir, mels_dict, prefix=""):
+        from ..ops.audio import save_wav
+        sr = hparams["audio_sample_rate"]
+        os.makedirs(gen_dir, exist_ok=True)
+        for key, wav in wavs_dict.items():
+            d = f"{gen_dir}/wavs/{prefix}{key}"
+            os.makedirs(d, exist_ok=True)
+            save_wav(wav, f"{d}/{base_fn}.wav", sr,
+                     norm=hparams.get("out_wav_norm", False))
+        for key, mel in mels_dict.items():
+            d = f"{gen_dir}/mels/{prefix}{key}"
+            os.makedirs(d, exist_ok=True)
+            np.save(f"{d}/{base_fn}.npy", mel)
+
+    def test_end(self, outputs):
+        self.saving_result_pool.close()
+        for f in self.saving_results_futures:
+            f.get()
+        self.saving_result_pool.join()
+        return {}
+
+    def on_epoch_end(self):
+        meters = self.training_losses_meter or {}
+        print(f"| Epoch {self.current_epoch} done. "
+              f"{ {k: round(m.avg, 4) for k, m in meters.items()} }")
+
+    # ------------------------------------------------------------------
+    def train_dataloader(self, n_devices=None):
+        ds = self.dataset_cls(hparams["train_set_name"], shuffle=True)
+        return self.build_dataloader(ds, True, hparams["max_tokens"],
+                                     hparams["max_sentences"],
+                                     endless=hparams["endless_ds"],
+                                     n_devices=n_devices or self.n_devices)
+
+    def val_dataloader(self, n_devices=None):
+        ds = self.dataset_cls(hparams["valid_set_name"], shuffle=False)
+        max_vt = hparams["max_valid_tokens"]
+        if max_vt == -1:
+            max_vt = hparams["max_tokens"]
+        max_vs = hparams["max_valid_sentences"]
+        if max_vs == -1:
+            max_vs = hparams["max_sentences"]
+        return self.build_dataloader(ds, False, max_vt, max_vs, n_devices=1)
+
+    def test_dataloader(self, n_devices=None):
+        ds = self.dataset_cls(hparams["test_set_name"], shuffle=False)
+        return self.build_dataloader(ds, False, None, 1,
+                                     use_batch_by_size=False, n_devices=1)
+
+
+class SVBVAETask(SVBVAETaskBase):
+    """Frame-level latent variant (reference: SVBVAETask, svb_vae_task.py:48)."""
+    variant = "local"
+
+
+class SVBVAEBoostTask(SVBVAETaskBase):
+    """Global latent, mean/scale mapping (reference: SVBVAEBoostTask:384)."""
+    variant = "global"
+
+
+class SVBVAEMleTask(SVBVAETaskBase):
+    """Global latent + MLE-trained z mapping — the shipped flagship config
+    (reference: SVBVAEMleTask:543, vae_global_mle_eng.yaml)."""
+    variant = "mle"

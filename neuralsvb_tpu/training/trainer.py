@@ -1,0 +1,192 @@
+"""Training loop driver.
+
+Replaces the reference's hand-rolled Lightning clone
+(reference: utils/trainer.py:23-520): epoch/step loop over the task's
+dataloaders, multi-optimizer stepping (the task's jitted step functions do
+the actual work), periodic validation + checkpointing with best-tracking,
+TensorBoard scalars, auto-resume from the newest checkpoint.
+
+Distribution model: SPMD over a jax mesh inside the task's jitted steps —
+there is no process-per-device logic here (SURVEY.md section 5.8); with
+multi-host JAX the same loop runs on every host and collectives make the
+state identical.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+from typing import Optional
+
+import jax
+import numpy as np
+from tqdm import tqdm
+
+from ..hparams import hparams
+from ..tasks.base_task import AvgrageMeter, tensors_to_scalars
+from .checkpoint import restore_checkpoint, save_checkpoint
+
+
+class Trainer:
+    def __init__(self, work_dir: str, val_check_interval=2000, tb_log_interval=100,
+                 max_updates=1000000, num_ckpt_keep=3, save_best=True,
+                 num_sanity_val_steps=5, accumulate_grad_batches=1,
+                 monitor_key="val_loss", monitor_mode="min", max_epochs=1000):
+        self.work_dir = work_dir
+        self.val_check_interval = val_check_interval
+        self.tb_log_interval = tb_log_interval
+        self.max_updates = max_updates
+        self.num_ckpt_keep = num_ckpt_keep
+        self.save_best = save_best
+        self.num_sanity_val_steps = num_sanity_val_steps
+        self.accumulate_grad_batches = accumulate_grad_batches
+        self.monitor_key = monitor_key
+        self.monitor_mode = monitor_mode
+        self.max_epochs = max_epochs
+        self.global_step = 0
+        self.current_epoch = 0
+        self.best_val = None
+        self.logger = None
+        self.is_main = jax.process_index() == 0
+
+    # ------------------------------------------------------------------
+    def _build_logger(self, task):
+        if not self.is_main or not self.work_dir:
+            return
+        try:
+            from tensorboardX import SummaryWriter
+            log_dir = os.path.join(self.work_dir, "lightning_logs",
+                                   f"version_{int(time.time()) % 100000}")
+            os.makedirs(log_dir, exist_ok=True)
+            self.logger = SummaryWriter(log_dir=log_dir)
+            task.logger = self.logger
+        except Exception:
+            traceback.print_exc()
+
+    def log_metrics(self, metrics: dict, step: int):
+        if self.logger is None:
+            return
+        for k, v in metrics.items():
+            if isinstance(v, (int, float, np.floating, np.integer)):
+                self.logger.add_scalar(k, v, step)
+
+    # ------------------------------------------------------------------
+    def fit(self, task):
+        task.trainer = self
+        task.build_model()
+        state, step, epoch, best = restore_checkpoint(
+            task.state_template(), self.work_dir) if self.work_dir else \
+            (task.state_template(), 0, 0, None)
+        task.set_state(state)
+        self.global_step = task.global_step = step
+        self.current_epoch = task.current_epoch = epoch
+        self.best_val = best
+        self._build_logger(task)
+
+        train_loader = iter(task.train_dataloader())
+        task.on_train_start()
+
+        # sanity validation
+        if self.num_sanity_val_steps > 0 and self.global_step == 0:
+            self.run_evaluation(task, max_batches=self.num_sanity_val_steps,
+                                save=False)
+
+        pbar = tqdm(total=self.max_updates, initial=self.global_step,
+                    dynamic_ncols=True, unit="step",
+                    disable=not self.is_main or not sys.stdout.isatty())
+        task.on_epoch_start()
+        try:
+            while self.global_step < self.max_updates:
+                try:
+                    batch = next(train_loader)
+                except StopIteration:
+                    task.on_epoch_end()
+                    self.current_epoch += 1
+                    task.current_epoch = self.current_epoch
+                    if self.current_epoch >= self.max_epochs:
+                        break
+                    train_loader = iter(task.train_dataloader())
+                    task.on_epoch_start()
+                    continue
+                if not batch:
+                    continue
+                logs = {}
+                for opt_idx in range(task.num_optimizers):
+                    ret = task.training_step(batch, self.global_step, opt_idx)
+                    if ret is None:
+                        continue
+                    total_loss, log_outputs = ret
+                    logs.update(tensors_to_scalars(log_outputs))
+                    logs[f"total_loss_{opt_idx}"] = float(total_loss)
+                self.global_step += 1
+                task.global_step = self.global_step
+                pbar.update(1)
+                if logs and self.global_step % 20 == 0:
+                    pbar.set_postfix(
+                        **{k: f"{v:.3f}" for k, v in list(logs.items())[:6]
+                           if isinstance(v, float)})
+                if self.global_step % self.tb_log_interval == 0:
+                    self.log_metrics({f"tr/{k}": v for k, v in logs.items()},
+                                     self.global_step)
+                if self.global_step % self.val_check_interval == 0:
+                    self.run_evaluation(task)
+        except KeyboardInterrupt:
+            print("| KeyboardInterrupt: saving and exiting.")
+            task.on_keyboard_interrupt()
+            self._save(task)
+        pbar.close()
+        task.on_train_end() if hasattr(task, "on_train_end") else None
+        self._save(task)
+
+    # ------------------------------------------------------------------
+    def run_evaluation(self, task, max_batches: Optional[int] = None,
+                       save: bool = True):
+        outputs = []
+        loader = task.val_dataloader()
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            if not batch:
+                continue
+            outputs.append(task.validation_step(batch, i))
+        if not outputs:
+            return
+        result = task.validation_end(outputs)
+        self.log_metrics(result.get("tb_log", {}), self.global_step)
+        if save and self.is_main and self.work_dir:
+            val = result.get(self.monitor_key.replace("val/", "val_"),
+                             result.get("val_loss"))
+            is_best = False
+            if self.save_best and val is not None:
+                better = (self.best_val is None
+                          or (self.monitor_mode == "min" and val < self.best_val)
+                          or (self.monitor_mode == "max" and val > self.best_val))
+                if better:
+                    self.best_val = val
+                    is_best = True
+            self._save(task, is_best=is_best)
+
+    def _save(self, task, is_best: bool = False):
+        if not self.work_dir or not self.is_main:
+            return
+        save_checkpoint(task.get_state(), self.work_dir, self.global_step,
+                        self.current_epoch, self.num_ckpt_keep,
+                        best_val=self.best_val, is_best=is_best)
+
+    # ------------------------------------------------------------------
+    def test(self, task):
+        task.trainer = self
+        task.build_model()
+        state, step, epoch, best = restore_checkpoint(
+            task.state_template(), self.work_dir)
+        task.set_state(state)
+        self.global_step = task.global_step = step
+        task.test_start()
+        outputs = []
+        for i, batch in enumerate(tqdm(task.test_dataloader(), desc="test")):
+            if not batch:
+                continue
+            outputs.append(task.test_step(batch, i))
+        return task.test_end(outputs)

@@ -1,0 +1,157 @@
+"""End-to-end task test: binarize synthetic pairs -> SVBVAEMleTask ->
+train steps through all 3 phases (gen/disc/map) -> validation -> jitted
+inference + wav dumping, on the virtual multi-device CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+SR = 22050
+
+
+def _sing(freq, dur, seed):
+    rng = np.random.RandomState(seed)
+    t = np.arange(int(SR * dur)) / SR
+    vib = freq * (1 + 0.03 * np.sin(2 * np.pi * 5 * t))
+    wav = 0.3 * np.sin(2 * np.pi * np.cumsum(vib) / SR)
+    return (wav + 0.01 * rng.randn(len(t))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def task_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("svb")
+    from neuralsvb_tpu.hparams import hparams, load_config_recursive
+    from neuralsvb_tpu.ops.audio import save_wav
+
+    data_dir = root / "processed" / "data" / "p1"
+    data_dir.mkdir(parents=True)
+    for spk, song, freq in [("Female1", "SongA", 220.0), ("Female1", "SongB", 250.0),
+                            ("Male6", "SongC", 150.0)]:
+        for idx in range(2):
+            dur = 1.0 + 0.1 * idx
+            save_wav(_sing(freq * 1.02, dur, idx),
+                     str(data_dir / f"{spk}#singing#{song}_Amateur_{idx}.wav"), SR)
+            save_wav(_sing(freq, dur * 0.95, idx + 9),
+                     str(data_dir / f"{spk}#singing#{song}_Professional_{idx}.wav"), SR)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.chdir(repo)  # config chains use repo-relative paths
+    common = {
+        "processed_data_dir": str(root / "processed"),
+        "binary_data_dir": str(root / "binary"),
+        "spk_emb_data_dir": str(root / "spk_emb"),
+        "work_dir": str(root / "work"),
+        # tiny model for test speed
+        "hidden_size": 32, "latent_size": 8, "fvae_enc_dec_hidden": 16,
+        "fvae_enc_n_layers": 2, "fvae_dec_n_layers": 2,
+        "asr_enc_layers": 1, "asr_dec_layers": 1,
+        "mel_disc_hidden_size": 8, "disc_win_num": 2,
+        "max_frames": 200, "max_tokens": 2000, "max_sentences": 2,
+        "test_prefixes": ["Male6#singing#"],
+        "pretrain_asr_ckpt": "", "vocoder_ckpt": str(root / "novocoder"),
+        # tiny hifigan so spec2wav is fast
+        "upsample_rates": [8, 4, 4], "upsample_kernel_sizes": [16, 8, 8],
+        "upsample_initial_channel": 8, "use_pitch_embed": True,
+        "ds_workers": 1, "infer": False, "num_test_samples": 0,
+        "ge2e_ckpt": "", "mesh_shape": "data:2",
+        "phase_1_steps": -1, "phase_2_steps": 3, "disc_start_steps": 0,
+        "num_valid_plots": 0, "valid_infer_interval": 10 ** 9,
+        "gen_dir_name": "",
+    }
+
+    # binarize with the para_bin chain (carries `datasets`), as the reference does
+    bin_cfg = load_config_recursive("egs/datasets/audio/PopBuTFy/para_bin.yaml")
+    bin_cfg.update(common)
+    hparams.clear()
+    hparams.update(bin_cfg)
+    from neuralsvb_tpu.data.binarizer import PopBuTFyENSpkEMBinarizer, SaveSpkEmb
+    SaveSpkEmb().process()
+    PopBuTFyENSpkEMBinarizer().process()
+
+    cfg = load_config_recursive("egs/datasets/audio/PopBuTFy/vae_global_mle_eng.yaml")
+    cfg.update(common)
+    return root, cfg
+
+
+def test_train_val_infer(task_env):
+    root, cfg = task_env
+    from neuralsvb_tpu.hparams import hparams
+    hparams.clear()
+    hparams.update(cfg)
+    from neuralsvb_tpu.tasks.svb_vae_task import SVBVAEMleTask
+
+    task = SVBVAEMleTask()
+    assert task.n_devices == 2
+    task.build_model()
+
+    loader = iter(task.train_dataloader())
+    batch = next(loader)
+    assert batch["mels"].shape[0] % 2 == 0  # divisible by mesh
+
+    # phase 2 (steps 0..3): gen + disc run, map idle
+    logs_seen = {}
+    for step in range(3):
+        task.global_step = step
+        for opt_idx in range(3):
+            ret = task.training_step(batch, step, opt_idx)
+            if ret is not None:
+                total, logs = ret
+                assert np.isfinite(float(total)), (step, opt_idx, logs)
+                logs_seen[(min(step, 1), opt_idx)] = logs
+    assert (1, 0) in logs_seen and (1, 1) in logs_seen
+    assert (1, 2) not in logs_seen
+    gen_logs = logs_seen[(1, 0)]
+    assert any("kl" in k for k in gen_logs)
+    assert any(k.startswith("l1") or k.startswith("ssim") for k in gen_logs)
+    assert any(k.endswith("_a") for k in gen_logs)  # adversarial term
+    disc_logs = logs_seen[(1, 1)]
+    assert any(k.endswith("_r") for k in disc_logs)
+
+    # phase 3: only map step runs, with mle loss
+    step = 5
+    task.global_step = step
+    assert task.training_step(batch, step, 0) is None
+    assert task.training_step(batch, step, 1) is None
+    ret = task.training_step(batch, step, 2)
+    assert ret is not None
+    total, logs = ret
+    assert any(k.endswith("_mle") for k in logs), logs
+    assert np.isfinite(float(total))
+
+    # mapping params changed, generator params did not (map step)
+    # (spot check z_mapping_function vs encoded_embed_proj)
+    before = task.get_state()
+    ret = task.training_step(batch, step + 1, 2)
+    after = task.get_state()
+    zb = before["params"]["z_mapping_function"]["conv_0"]["kernel"]
+    za = after["params"]["z_mapping_function"]["conv_0"]["kernel"]
+    assert np.abs(np.asarray(zb) - np.asarray(za)).max() > 0
+    eb = before["params"]["encoded_embed_proj"]["kernel"]
+    ea = after["params"]["encoded_embed_proj"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(eb), np.asarray(ea))
+
+    # validation
+    val_out = task.validation_step(batch, 0)
+    assert np.isfinite(val_out["total_loss"])
+    agg = task.validation_end([val_out])
+    assert "val_loss" in agg
+
+    # inference end-to-end (test split = Male6 pairs), bs=1
+    hparams["infer"] = True
+    task.global_step = 10
+    task.test_start()
+    test_loader = task.test_dataloader()
+    outs = []
+    for i, b in enumerate(test_loader):
+        outs.append(task.test_step(b, i))
+        break
+    task.test_end(outs)
+    gen_dir = os.path.join(cfg["work_dir"], "generated_10_")
+    for sub in ["gt_a_wavout", "gt_p_wavout", "a2a_wavout", "p2p_wavout", "a2p_wavout"]:
+        d = os.path.join(gen_dir, "wavs", sub)
+        assert os.path.isdir(d) and len(os.listdir(d)) == 1, d
+    for sub in ["gt_a_mel", "a2p_mel"]:
+        d = os.path.join(gen_dir, "mels", sub)
+        assert os.path.isdir(d) and len(os.listdir(d)) == 1, d
+    hparams["infer"] = False
