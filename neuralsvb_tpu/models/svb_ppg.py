@@ -152,7 +152,13 @@ class VCPPG(nn.Module):
     def train_vc_asr(self, mels, tokens, conversion_alignment=None,
                      with_hidden: bool = False, train: bool = False):
         """Teacher-forced ASR logits (+ optionally h_content with gradient,
-        for the ParaPPGConstraint loss, reference: svb_ppg.py:252-258)."""
+        for the ParaPPGConstraint loss, reference: svb_ppg.py:252-258).
+
+        Note: for the aligned_asr variants the reference gathers/pools the
+        encoder output *inside* the ASR before the CE decoder
+        (svb_ppg.py:178-196); here only the pre_exp mel-gather is applied in
+        the CE path (the constraint loss in tasks/svb_para.py aligns the
+        returned hidden instead)."""
         if self.pre_exp and conversion_alignment is not None:
             mels = jnp.take_along_axis(mels, conversion_alignment[:, :, None], 1)
         prev_tokens = jnp.pad(tokens[:, :-1], ((0, 0), (1, 0)))

@@ -1,0 +1,138 @@
+"""FastSpeech2 task: text -> mel with duration/pitch losses
+(reference: tasks/tts/fs2.py:29-506)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hparams import hparams
+from ..models.fs2 import FastSpeech2
+from ..models.tts_modules import mel2ph_to_dur
+from ..parallel.mesh import shard_batch
+from .adv_base import AdversarialTaskBase
+from .svb_vae_task import add_mel_loss
+
+
+def binary_cross_entropy_logits(logits, targets):
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+
+
+class FastSpeech2Task(AdversarialTaskBase):
+    def __init__(self):
+        super().__init__()
+        from ..data.datasets import FastSpeechDataset
+        self.dataset_cls = FastSpeechDataset
+
+    def build_generator(self):
+        hp = hparams
+        self.model = FastSpeech2(
+            dict_size=self._dict_size(), hidden_size=hp["hidden_size"],
+            enc_layers=hp["enc_layers"], dec_layers=hp["dec_layers"],
+            enc_ffn_kernel_size=hp["enc_ffn_kernel_size"],
+            dec_ffn_kernel_size=hp["dec_ffn_kernel_size"],
+            num_heads=hp["num_heads"], out_dims=hp["audio_num_mel_bins"],
+            decoder_type="fft" if hp["decoder_type"] == "fft" else "conv",
+            use_spk_id=hp["use_spk_id"], use_spk_embed=hp["use_spk_embed"],
+            num_spk=hp["num_spk"], use_pitch_embed=hp["use_pitch_embed"],
+            use_energy_embed=hp["use_energy_embed"], use_uv=hp["use_uv"],
+            pitch_type=hp["pitch_type"],
+            predictor_hidden=hp["predictor_hidden"],
+            predictor_kernel=hp["predictor_kernel"],
+            predictor_layers=hp["predictor_layers"],
+            dur_predictor_kernel=hp["dur_predictor_kernel"],
+            dur_predictor_layers=hp["dur_predictor_layers"],
+            predictor_dropout=hp["predictor_dropout"],
+            predictor_grad=hp["predictor_grad"], dropout=hp["dropout"],
+            f0_mean=hp.get("f0_mean") or 220.0, f0_std=hp.get("f0_std") or 60.0,
+            pitch_norm=hp["pitch_norm"])
+        B, Tt, Tm = 2, 8, 32
+        tokens = np.ones((B, Tt), np.int32)
+        m2p = np.ones((B, Tm), np.int32)
+        f0 = np.zeros((B, Tm), np.float32)
+        spk = (np.zeros((B,), np.int32) if hp["use_spk_id"]
+               else np.zeros((B, 256), np.float32) if hp["use_spk_embed"] else None)
+        rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+        v = self.model.init(rngs, tokens, m2p, spk, f0, f0)
+        return dict(v["params"]), dict(v.get("batch_stats", {}))
+
+    def prep_batch(self, batch, infer: bool = False):
+        hp = hparams
+        b = {"txt_tokens": batch["txt_tokens"].astype(np.int32),
+             "mels": batch["mels"],
+             "mel2ph": batch["mel2ph"].astype(np.int32),
+             "f0": batch["f0"], "uv": batch["uv"], "energy": batch["energy"]}
+        if hp["use_spk_id"]:
+            b["spk"] = batch["spk_ids"].astype(np.int32)
+        elif hp["use_spk_embed"]:
+            b["spk"] = batch["spk_embed"]
+        if infer:
+            return b
+        return shard_batch(b, self.mesh)
+
+    def forward_losses(self, params, batch_stats, batch, rng, train):
+        hp = hparams
+        out, mut = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["txt_tokens"], batch["mel2ph"], batch.get("spk"),
+            batch["f0"] if hp["use_gt_f0"] else None,
+            batch["uv"] if hp["use_gt_f0"] else None,
+            batch.get("energy"), train=train,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        losses: Dict[str, Any] = {}
+        add_mel_loss(self.loss_and_lambda, out["mel_out"], batch["mels"], losses)
+        self._dur_loss(out, batch, losses)
+        if hp["use_pitch_embed"]:
+            self._pitch_loss(out, batch, losses)
+        return losses, {"": out["mel_out"]}, {"": batch["mels"]}, \
+            mut["batch_stats"]
+
+    def _dur_loss(self, out, batch, losses):
+        hp = hparams
+        tokens = batch["txt_tokens"]
+        nonpadding = (tokens != 0).astype(jnp.float32)
+        dur_gt = mel2ph_to_dur(batch["mel2ph"], tokens.shape[1]).astype(
+            jnp.float32) * nonpadding
+        pdur = ((out["dur"] - jnp.log(dur_gt + 1)) ** 2) * nonpadding
+        losses["pdur"] = (pdur.sum() / nonpadding.sum()) * hp["lambda_ph_dur"]
+        if hp["lambda_sent_dur"] > 0:
+            dur_pred_lin = jnp.clip(jnp.exp(out["dur"]) - 1, 0, None) * nonpadding
+            sd = (jnp.log(dur_pred_lin.sum(-1) + 1)
+                  - jnp.log(dur_gt.sum(-1) + 1)) ** 2
+            losses["sdur"] = sd.mean() * hp["lambda_sent_dur"]
+
+    def _pitch_loss(self, out, batch, losses):
+        hp = hparams
+        nonpadding = (batch["mel2ph"] != 0).astype(jnp.float32)
+        pred = out["pitch_pred"]
+        f0_l = (jnp.abs(pred[:, :, 0] - batch["f0"]) * nonpadding).sum() \
+            / jnp.maximum(nonpadding.sum(), 1.0)
+        losses["f0"] = f0_l * hp["lambda_f0"]
+        if hp["use_uv"] and pred.shape[-1] > 1:
+            uv_l = (binary_cross_entropy_logits(pred[:, :, 1], batch["uv"])
+                    * nonpadding).sum() / jnp.maximum(nonpadding.sum(), 1.0)
+            losses["uv"] = uv_l * hp["lambda_uv"]
+
+    # ------------------------------------------------------------------
+    def train_dataloader(self, n_devices=None):
+        ds = self.dataset_cls(hparams["train_set_name"], shuffle=True)
+        return self.build_dataloader(ds, True, hparams["max_tokens"],
+                                     hparams["max_sentences"],
+                                     endless=hparams["endless_ds"],
+                                     n_devices=n_devices or self.n_devices)
+
+    def val_dataloader(self, n_devices=None):
+        ds = self.dataset_cls(hparams["valid_set_name"], shuffle=False)
+        mv = hparams["max_valid_tokens"]
+        return self.build_dataloader(
+            ds, False, mv if mv != -1 else hparams["max_tokens"],
+            hparams["max_valid_sentences"], n_devices=1)
+
+    def test_dataloader(self, n_devices=None):
+        ds = self.dataset_cls(hparams["test_set_name"], shuffle=False)
+        return self.build_dataloader(ds, False, None, 1,
+                                     use_batch_by_size=False, n_devices=1)
