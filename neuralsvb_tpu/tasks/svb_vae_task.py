@@ -527,10 +527,45 @@ class SVBVAETaskBase(BaseTask):
 
     def validation_step(self, batch, batch_idx: int):
         ways = self._val_ways(self.global_step)
-        _, losses, _ = self._eval_forward(batch, ways)
+        out, losses, _ = self._eval_forward(batch, ways)
         losses = {k: float(v) for k, v in losses.items()}
+        self._vis_validation(out, batch, batch_idx, ways)
         return {"losses": losses, "total_loss": sum(losses.values()),
                 "nsamples": batch["nsamples"]}
+
+    def _vis_validation(self, out, batch, batch_idx, ways):
+        """Vocoded audio + mel/f0 figures to TensorBoard
+        (reference: svb_vae_task.py:247-298 vis_mel_tb)."""
+        if (self.logger is None
+                or self.global_step % hparams["valid_infer_interval"] != 0
+                or batch_idx >= hparams.get("num_valid_plots", 0)):
+            return
+        from ..utils.plot import spec_f0_to_figure, spec_to_figure
+        if self.vocoder is None:
+            from ..vocoders.base import get_vocoder_cls
+            self.vocoder = get_vocoder_cls(hparams)(dict(hparams))
+        sr = hparams["audio_sample_rate"]
+        f0s = {"a2a": denorm_f0(batch["f0"], batch["uv"], hparams),
+               "p2p": denorm_f0(batch["prof_f0"], batch["prof_uv"], hparams)}
+        f0s["a2p"] = f0s["p2p"]
+        lens = {"a2a": int(batch["mel_lengths"][0]),
+                "p2p": int(batch["prof_mel_lengths"][0])}
+        lens["a2p"] = lens["p2p"]
+        for way in ways:
+            L = lens[way]
+            mel = np.asarray(out[way]["mel_out"][0][:L])
+            wav = self.vocoder.spec2wav(mel, f0=np.asarray(f0s[way][0][:L]))
+            self.logger.add_audio(f"{way}_wavout_{batch_idx}", wav,
+                                  self.global_step, sr)
+            gt = np.asarray((batch["prof_mels"] if way != "a2a"
+                             else batch["mels"])[0][:L])
+            fig = spec_to_figure(np.concatenate([gt, mel], -1),
+                                 vmin=hparams["mel_vmin"], vmax=hparams["mel_vmax"],
+                                 title=f"{way} gt|pred")
+            self.logger.add_figure(f"{way}_gt_{batch_idx}", fig, self.global_step)
+        gt_a = self.vocoder.spec2wav(np.asarray(batch["mels"][0][:lens["a2a"]]),
+                                     f0=np.asarray(f0s["a2a"][0][:lens["a2a"]]))
+        self.logger.add_audio(f"gt_a_wav_{batch_idx}", gt_a, self.global_step, sr)
 
     # ------------------------------------------------------------------
     def test_start(self):

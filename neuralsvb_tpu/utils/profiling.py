@@ -1,0 +1,65 @@
+"""Profiling utilities: cumulative wall-clock timers with device sync and a
+jax.profiler trace context (reference: utils/__init__.py:243-264 Timer +
+SURVEY.md section 5.1 replacement plan).
+
+``Timer('hifigan', enable=hparams['profile_infer'])`` accumulates seconds per
+name; RTF = Timer seconds / accumulated generated-audio seconds."""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+
+class Timer:
+    timer_map = defaultdict(float)
+
+    def __init__(self, name: str, enable: bool = False):
+        self.name = name
+        self.enable = enable
+
+    def __enter__(self):
+        if self.enable:
+            import jax
+            # flush pending device work so we time only our region
+            (jax.device_put(0.0) + 0).block_until_ready()
+            self.t = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if self.enable:
+            import jax
+            (jax.device_put(0.0) + 0).block_until_ready()
+            Timer.timer_map[self.name] += time.perf_counter() - self.t
+
+    @classmethod
+    def report(cls):
+        return dict(cls.timer_map)
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: str):
+    """Capture a jax profiler trace viewable in TensorBoard's profile tab."""
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class RTFMeter:
+    """Accumulates compute seconds vs generated audio seconds."""
+
+    def __init__(self):
+        self.compute_sec = 0.0
+        self.audio_sec = 0.0
+
+    def add(self, compute_sec: float, audio_sec: float):
+        self.compute_sec += compute_sec
+        self.audio_sec += audio_sec
+
+    @property
+    def rtf(self):
+        return self.compute_sec / max(self.audio_sec, 1e-9)

@@ -1,0 +1,56 @@
+"""Tests for text encoder, text normalization, masks, metrics, profiling."""
+
+import numpy as np
+
+from neuralsvb_tpu.utils.metrics import laplace_var, mel_cepstral_distortion
+from neuralsvb_tpu.utils.profiling import RTFMeter, Timer
+from neuralsvb_tpu.utils.text_encoder import TokenTextEncoder
+from neuralsvb_tpu.utils.text_norm import normalize_en, normalize_zh
+from neuralsvb_tpu.utils.tts_utils import make_pad_mask, sequence_mask
+
+
+def test_token_text_encoder():
+    enc = TokenTextEncoder(None, vocab_list=["a", "b", "c"], replace_oov="<UNK>")
+    assert enc.pad() == 0 and enc.eos() == 1 and enc.unk() == 2
+    assert enc.vocab_size == 7  # 4 reserved + 3
+    ids = enc.encode("a c zz")
+    assert ids == [4, 6, 2]  # zz -> UNK
+    assert enc.decode(ids) == "a c <UNK>"
+    assert enc.decode([4, 0, 6], strip_padding=True) == "a"
+    sils = enc.sil_phonemes()
+    assert "|" in sils and "<pad>" in sils
+
+
+def test_text_norm():
+    assert normalize_en("Dr. Smith has 21 cats") == \
+        "doctor smith has twenty one cats"
+    assert "one hundred five" in normalize_en("105 things")
+    assert normalize_zh("我有3只猫") == "我有三只猫"
+    assert "二十一" in normalize_zh("21")
+
+
+def test_masks():
+    m = np.asarray(sequence_mask([2, 4], 5))
+    np.testing.assert_array_equal(m, [[1, 1, 0, 0, 0], [1, 1, 1, 1, 0]])
+    np.testing.assert_array_equal(np.asarray(make_pad_mask([2, 4], 5)), ~m)
+
+
+def test_mcd():
+    rng = np.random.RandomState(0)
+    a = rng.randn(50, 80)
+    assert mel_cepstral_distortion(a, a) == 0.0
+    b = a + 0.1 * rng.randn(50, 80)
+    d_small = mel_cepstral_distortion(a, b)
+    c = a + 1.0 * rng.randn(50, 80)
+    d_big = mel_cepstral_distortion(a, c)
+    assert 0 < d_small < d_big
+    assert laplace_var(a) > 0
+
+
+def test_timer_and_rtf():
+    with Timer("x", enable=True):
+        _ = sum(range(1000))
+    assert Timer.report()["x"] >= 0
+    m = RTFMeter()
+    m.add(0.5, 10.0)
+    assert abs(m.rtf - 0.05) < 1e-9
