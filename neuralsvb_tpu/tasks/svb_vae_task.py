@@ -188,15 +188,41 @@ class SVBVAETaskBase(BaseTask):
             b["spk_emb"], b["a2p_f0_alignment"], concurrent_ways=WAYS)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        # warm-start the frozen PPG extractor (reference: svb_vae_task.py:558)
+        # warm-start the frozen PPG extractor (reference: svb_vae_task.py:558);
+        # accepts our msgpack checkpoints or a released torch ckpt dir
         asr_ckpt = hparams.get("pretrain_asr_ckpt", "")
         if asr_ckpt:
+            import glob as _glob
             from flax import serialization
-            loaded = load_sub_params(params["vc_asr"], asr_ckpt,
-                                     key_path=("state", "params", "vc_asr"))
+            torch_ckpts = sorted(_glob.glob(os.path.join(asr_ckpt, "*.ckpt"))) \
+                if os.path.isdir(asr_ckpt) else []
+            converted = None
+            if torch_ckpts and not any("msgpack" in f for f in torch_ckpts):
+                try:
+                    from ..convert.torch2jax import convert_vcasr, fold_weight_norm, \
+                        load_state_dict
+                    sd = fold_weight_norm(load_state_dict(torch_ckpts[-1]))
+                    if any(k.startswith("model.") for k in sd):
+                        sd = {k[len("model."):]: v for k, v in sd.items()
+                              if k.startswith("model.")}
+                    if not any(k.startswith("vc_asr.") for k in sd):
+                        sd = {f"vc_asr.{k}": v for k, v in sd.items()}
+                    converted, conv_stats = convert_vcasr(
+                        sd, "vc_asr", hparams["asr_enc_layers"],
+                        hparams["asr_dec_layers"])
+                    print(f"| Converted ASR params from {torch_ckpts[-1]}")
+                except Exception as e:  # noqa: BLE001
+                    print(f"| WARNING: torch ASR conversion failed ({e}); "
+                          "falling back to msgpack/sub-param loading.")
+            loaded = converted if converted is not None else load_sub_params(
+                params["vc_asr"], asr_ckpt, key_path=("state", "params", "vc_asr"))
             params = dict(params)
             params["vc_asr"] = serialization.from_state_dict(
                 variables["params"]["vc_asr"], loaded)
+            if converted is not None and "vc_asr" in batch_stats:
+                batch_stats = dict(batch_stats)
+                batch_stats["vc_asr"] = serialization.from_state_dict(
+                    batch_stats["vc_asr"], conv_stats)
         disc_rngs = {"params": jax.random.PRNGKey(2), "disc": jax.random.PRNGKey(3)}
         disc_dummy = np.zeros(
             (2, 2 * max(self.mel_disc.time_lengths), hparams["audio_num_mel_bins"]),

@@ -60,12 +60,22 @@ def restore_checkpoint(state_template: Any, work_dir: str):
         return state_template, 0, 0, None
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
-    template = {"epoch": 0, "global_step": 0, "checkpoint_callback_best": None,
-                "state": state_template}
-    payload = serialization.from_state_dict(template, raw)
+
+    def lenient_merge(template, saved, prefix=""):
+        """Take saved values where present; keep template (e.g. fresh
+        optimizer state for converted external checkpoints) elsewhere."""
+        if isinstance(saved, dict) and isinstance(
+                serialization.to_state_dict(template), dict):
+            tdict = serialization.to_state_dict(template)
+            merged = {k: lenient_merge(tdict[k], saved[k], f"{prefix}/{k}")
+                      if k in saved else tdict[k] for k in tdict}
+            return serialization.from_state_dict(template, merged)
+        return serialization.from_state_dict(template, saved)
+
+    state = lenient_merge(state_template, raw.get("state", {}))
     print(f"| Restored ckpt: {path}")
-    return (payload["state"], int(payload["global_step"]),
-            int(payload["epoch"]), payload["checkpoint_callback_best"])
+    return (state, int(raw.get("global_step", 0)), int(raw.get("epoch", 0)),
+            raw.get("checkpoint_callback_best"))
 
 
 def load_ckpt_params(ckpt_path: str):
