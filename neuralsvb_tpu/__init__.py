@@ -20,6 +20,20 @@ __version__ = "0.1.0"
 
 import os as _os
 
+if _os.environ.get("NSVB_COMPILATION_CACHE", "1") != "0":
+    # Persistent XLA compilation cache: repeated CLI invocations (train,
+    # resume, infer) reuse compiled programs instead of paying 1-3 min
+    # per step shape on the TPU tunnel. Disable with NSVB_COMPILATION_CACHE=0.
+    import jax as _jax_cc
+
+    _cache_dir = _os.environ.get("NSVB_CACHE_DIR",
+                                 _os.path.expanduser("~/.cache/nsvb_xla_cache"))
+    try:
+        _jax_cc.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax_cc.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 if _os.environ.get("NSVB_PLATFORM"):
     # Force a JAX platform (e.g. NSVB_PLATFORM=cpu for host-only smoke runs)
     # before any backend is initialized. Overrides ambient plugin registration.

@@ -29,6 +29,10 @@ def _save_codes():
 
 def run_task():
     assert hparams["task_cls"] != "", "config must define task_cls"
+    if hparams.get("compute_dtype") == "bfloat16":
+        # run matmuls/convs on the MXU in bf16 while keeping f32 params
+        import jax
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
     if hparams.get("debug"):
         # numeric sanitizer mode (SURVEY.md section 5.2): fail fast on NaNs
         import jax

@@ -240,12 +240,19 @@ class SVBVAETaskBase(BaseTask):
     def _build_optimizers(self):
         hp = hparams
 
+        accum = int(hp.get("accumulate_grad_batches", 1) or 1)
+
         def adamw(clip, b1, b2, eps=1e-8, wd=0.0):
-            return optax.chain(
+            tx = optax.chain(
                 optax.clip_by_global_norm(clip) if clip > 0 else optax.identity(),
                 optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
                 optax.add_decayed_weights(wd),
             )
+            if accum > 1:
+                # gradient accumulation (reference: utils/trainer.py:302,329);
+                # mid-accumulation micro-steps emit zero updates
+                tx = optax.MultiSteps(tx, every_k_schedule=accum)
+            return tx
 
         b1, b2 = hp["optimizer_adam_beta1"], hp["optimizer_adam_beta2"]
         disc_p = hp.get("discriminator_optimizer_params", {})
