@@ -115,3 +115,36 @@ def denoise_spectral_subtract(wav: np.ndarray, hp: dict, v: float = 0.1) -> np.n
     spec = _stft_complex(wav, hp["fft_size"], hp["hop_size"], hp["win_size"])
     mag = np.clip(np.abs(spec) - v, 0, None)
     return istft_np(mag * np.exp(1j * np.angle(spec)), hp["hop_size"], hp["win_size"])
+
+
+def trim_long_silences(wav: np.ndarray, sr: int, top_db: float = 35.0,
+                       frame_ms: float = 30.0, max_sil_ms: float = 400.0):
+    """Energy-based VAD trim of long internal silences — replacement for the
+    reference's webrtcvad path (reference: data_gen_utils.py:27-90; webrtcvad
+    is unavailable here). Returns (trimmed wav, keep mask, sr)."""
+    wav = np.asarray(wav, np.float32)
+    frame = max(1, int(sr * frame_ms / 1000))
+    n = len(wav) // frame
+    if n == 0:
+        return wav, np.ones(len(wav), bool), sr
+    e = (wav[: n * frame].reshape(n, frame) ** 2).mean(-1)
+    ref = max(e.max(), 1e-10)
+    db = 10 * np.log10(np.maximum(e / ref, 1e-10))
+    voiced = db > -top_db
+    # keep short silences, drop runs longer than max_sil_ms
+    max_run = max(1, int(max_sil_ms / frame_ms))
+    keep_f = voiced.copy()
+    i = 0
+    while i < n:
+        if not voiced[i]:
+            j = i
+            while j < n and not voiced[j]:
+                j += 1
+            if j - i <= max_run:
+                keep_f[i:j] = True
+            i = j
+        else:
+            i += 1
+    mask = np.repeat(keep_f, frame)
+    mask = np.pad(mask, (0, len(wav) - len(mask)), constant_values=True)
+    return wav[mask], mask, sr

@@ -156,6 +156,8 @@ class SVBVAETaskBase(BaseTask):
             cond_size=hp["hidden_size"] if hp["use_cond_disc"] else 0,
         )
         self._init_params()
+        from ..utils import num_params
+        num_params(jax.device_get(self.state["params"]), model_name="Generator")
         self._build_optimizers()
         self._mapping_keys = self._get_mapping_keys()
         return self.model
