@@ -75,6 +75,10 @@ class GlobalFVAEEncoder(FVAEEncoder):
     def __call__(self, x, x_mask, g, train: bool = False):
         x, x_mask = self.project(x, x_mask, g, train)
         h = x
+        # three stride-2 VALID poolings need >= 15 input frames or the
+        # output collapses to length 0 (NaN mean); right-pad short clips
+        if h.shape[1] < 15:
+            h = jnp.pad(h, ((0, 0), (0, 15 - h.shape[1]), (0, 0)))
         for i in range(3):
             h = nn.Conv(self.latent_channels * 2, (3,), strides=(2,),
                         padding="VALID", name=f"pool_{i}")(h)

@@ -47,6 +47,7 @@ class VCPPG(nn.Module):
     dec_ffn_kernel_size: int = 9
     num_heads: int = 2
     dropout: float = 0.05
+    ref_attn: bool = False      # banded reference attention over timbre mel
     para: bool = False          # gather PPG through conversion_alignment
     pre_exp: bool = False       # gather raw mel before the ASR
     aligned_asr: bool = False   # repeat/gather/pool inside the ASR
@@ -68,6 +69,12 @@ class VCPPG(nn.Module):
                                                 odim=self.ref_enc_out)
         if self.use_tech:
             self.tech_embed = Embedding(self.num_techs, H)
+        if self.ref_attn:
+            from .common import MultiheadAttention
+            self.ref_attn_kv_encoder = ConvStacks(
+                n_layers=5, n_chans=H, odim=H, strides=[2, 2, 2, 1, 1],
+                res=False, norm="none")
+            self.ref_attn_mha = MultiheadAttention(4)
         self.encoded_embed_proj = dense(H)
         if self.decoder_type == "fft":
             self.decoder = FastspeechDecoder(H, self.dec_layers,
@@ -144,6 +151,18 @@ class VCPPG(nn.Module):
 
         ret["dec_inputs"] = dec_inputs = self.encoded_embed_proj(
             jnp.concatenate(embeds, -1))
+        if self.ref_attn and not self.use_spk_id:
+            # banded (|t - 8k| < 32) attention over the stride-8 timbre mel
+            # (reference: vc_ppg.py:76-102 build_attn_mask)
+            kv = self.ref_attn_kv_encoder(mels_timbre, train=train)  # [B, T/8, H]
+            q_len, kv_len = dec_inputs.shape[1], kv.shape[1]
+            band = (jnp.arange(q_len)[:, None]
+                    - 8 * jnp.arange(kv_len)[None, :])
+            attn_mask = jnp.where((band < 32) & (band > -32), 0.0, -1e9)
+            attn, _ = self.ref_attn_mha(dec_inputs, kv, kv,
+                                        attn_mask=attn_mask[None, None],
+                                        train=train)
+            dec_inputs = dec_inputs + attn
         nonpadding = (pitch > 0).astype(dec_inputs.dtype)[:, :, None]
         x = self.decoder(dec_inputs, train=train)
         ret["mel_out"] = self.mel_out(x) * nonpadding

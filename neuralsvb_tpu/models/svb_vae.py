@@ -60,7 +60,7 @@ class SVBVAE(nn.Module):
     asr_enc_layers: int = 2
     asr_dec_layers: int = 2
     asr_last_norm: bool = False
-    variant: str = "mle"
+    variant: str = "mle"  # local | global | mle | tech_mle | seg_tech_mle
     use_prior_glow: bool = False
 
     def setup(self):
@@ -86,8 +86,15 @@ class SVBVAE(nn.Module):
         elif self.variant == "global":
             self.m_mapping_function = GlobalLatentMap(self.latent_size)
             self.logs_mapping_function = GlobalLatentMap(self.latent_size)
-        else:  # mle
+        else:  # mle family
             self.z_mapping_function = GlobalLatentMap(self.latent_size)
+        if self.variant == "seg_tech_mle":
+            # attention-based PPG alignment (reference: svb_vae.py:402-478)
+            from .common import MultiheadAttention
+            self.k_mel_encoder_0 = nn.Conv(self.hidden_size, (1,))
+            self.k_mel_encoder_bn = BatchNorm1d()
+            self.k_mel_encoder_1 = nn.Conv(self.hidden_size, (1,))
+            self.seg_ref_attn = MultiheadAttention(4)
 
     # ------------------------------------------------------------------
     def prepare_condition(self, mel, pitch, spk_emb, train: bool = False):
@@ -141,6 +148,10 @@ class SVBVAE(nn.Module):
                                                train=train)
         prof_conds = self.prepare_condition(prof_mel, prof_pitch, spk_emb, train=train)
 
+        if tech_ids is None and self.variant in ("tech_mle", "seg_tech_mle"):
+            # prior N(tech_id, 1): amateur=0, professional=1
+            # (reference: vae_models.py:196-200 TechPriorGlobalFVAE)
+            tech_ids = (0, 1)
         prior_a = float(tech_ids[0]) if tech_ids is not None else 0.0
         prior_p = float(tech_ids[1]) if tech_ids is not None else 0.0
 
@@ -150,8 +161,21 @@ class SVBVAE(nn.Module):
                                       prior_mean=prior_a)
             ret["a2a"] = a2a_out
         if "p2p" in concurrent_ways:
-            p2p_out = self.normal_vae(prof_mel, prof_conds, infer, train,
+            p2p_conds = prof_conds
+            if self.variant == "seg_tech_mle" and a2p_alignment is not None:
+                fake_prof_ppg, attn_w = self.get_aligned_ppg(
+                    amateur_conds["h_content"], amateur_mel, a2p_alignment,
+                    train=train)
+                p2p_conds = dict(prof_conds)
+                p2p_conds["h_content"] = fake_prof_ppg[:, : prof_mel.shape[1]]
+            p2p_out = self.normal_vae(prof_mel, p2p_conds, infer, train,
                                       prior_mean=prior_p)
+            if self.variant == "seg_tech_mle" and a2p_alignment is not None:
+                p2p_out["attn"] = attn_w
+                # a2p decodes with the same attention-aligned content
+                amateur_conds = dict(amateur_conds)
+                amateur_conds["h_content_aligned"] = \
+                    fake_prof_ppg[:, : prof_mel.shape[1]]
             ret["p2p"] = p2p_out
         if "a2p" in concurrent_ways:
             mt = train if map_train is None else map_train
@@ -160,12 +184,27 @@ class SVBVAE(nn.Module):
         return ret
 
     # ------------------------------------------------------------------
+    def get_aligned_ppg(self, src_ppg, src_mel, alignment, train=False):
+        """Attention-refined alignment of the amateur PPG to the professional
+        timeline (reference: svb_vae.py:413-420)."""
+        gathered = jnp.take_along_axis(src_ppg, alignment[:, :, None], 1)
+        k = self.k_mel_encoder_0(src_mel)
+        k = nn.relu(k)
+        k = self.k_mel_encoder_bn(k, train=train)
+        k = self.k_mel_encoder_1(k)
+        attn, attn_w = self.seg_ref_attn(gathered, k, src_ppg, train=train)
+        return attn, attn_w
+
     def _gathered_cond(self, amateur_conds, prof_conds, a2p_alignment):
         """Condition for decoding on the professional timeline: prof pitch,
-        amateur PPG gathered through the DTW alignment, amateur style."""
+        amateur PPG gathered through the DTW alignment (or attention-aligned
+        for the seg variant), amateur style."""
         T_p = prof_conds["h_pitch"].shape[1]
-        gathered = jnp.take_along_axis(
-            amateur_conds["h_content"], a2p_alignment[:, :, None], axis=1)
+        if "h_content_aligned" in amateur_conds:
+            gathered = amateur_conds["h_content_aligned"][:, :T_p]
+        else:
+            gathered = jnp.take_along_axis(
+                amateur_conds["h_content"], a2p_alignment[:, :, None], axis=1)
         style = jnp.repeat(amateur_conds["h_style"][:, :1], T_p, axis=1)
         return self._cond_sum(prof_conds["h_pitch"], gathered, style)
 

@@ -107,3 +107,27 @@ def test_glow_invertible():
     x_rec, logdet_r = block.apply(vars_, y, mask, g, reverse=True)
     np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(logdet), -np.asarray(logdet_r), atol=1e-5)
+
+
+def test_svbvae_tech_variants():
+    from neuralsvb_tpu.models.svb_vae import SVBVAE
+    for variant in ("tech_mle", "seg_tech_mle"):
+        m = SVBVAE(dict_size=20, hidden_size=H, latent_size=8, fvae_hidden=16,
+                   fvae_enc_layers=2, fvae_dec_layers=2, asr_enc_layers=1,
+                   asr_dec_layers=1, variant=variant)
+        am = jax.random.normal(jax.random.PRNGKey(0), (B, 32, 80)) - 2
+        pr = jax.random.normal(jax.random.PRNGKey(1), (B, 48, 80)) - 2
+        pa = jax.random.randint(jax.random.PRNGKey(2), (B, 32), 1, 255)
+        pp = jax.random.randint(jax.random.PRNGKey(3), (B, 48), 1, 255)
+        spk = jax.random.normal(jax.random.PRNGKey(4), (B, 256))
+        align = jnp.clip(jnp.arange(48)[None].repeat(B, 0) * 32 // 48, 0, 31)
+        ways = ("a2a", "p2p", "a2p")
+        vars_ = m.init(RNGS, am, pr, pa, pp, spk, align, concurrent_ways=ways)
+        out = m.apply(vars_, am, pr, pa, pp, spk, align, concurrent_ways=ways,
+                      rngs={"noise": jax.random.PRNGKey(9)})
+        assert out["a2p"]["mel_out"].shape == pr.shape
+        assert np.isfinite(float(out["a2p"]["mle"]))
+        # tech priors differ: a2a kl vs prior 0, p2p vs prior 1
+        assert np.isfinite(float(out["a2a"]["kl"]))
+        if variant == "seg_tech_mle":
+            assert "attn" in out["p2p"]
