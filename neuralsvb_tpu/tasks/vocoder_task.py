@@ -279,3 +279,123 @@ class HifiGanTask(BaseTask):
 
     def test_dataloader(self, n_devices=None):
         return self.val_dataloader()
+
+
+class PWGTask(HifiGanTask):
+    """Parallel WaveGAN vocoder training: multi-resolution STFT loss +
+    single-discriminator LSGAN (the reference ships PWG's losses/optimizers
+    as support code but no task — restored here; RAdam is replaced by Adam)."""
+
+    def build_model(self):
+        hp = hparams
+        from ..models.pwg import (ParallelWaveGANDiscriminator,
+                                  ParallelWaveGANGenerator)
+        gen_p = hp.get("generator_params", {}) or {}
+        self.model = ParallelWaveGANGenerator(
+            layers=gen_p.get("layers", 30), stacks=gen_p.get("stacks", 3),
+            residual_channels=gen_p.get("residual_channels", 64),
+            gate_channels=gen_p.get("gate_channels", 128),
+            skip_channels=gen_p.get("skip_channels", 64),
+            aux_channels=hp["audio_num_mel_bins"],
+            aux_context_window=hp.get("aux_context_window", 2),
+            upsample_scales=tuple(gen_p.get("upsample_scales",
+                                            (4, 4, 4, 2))))
+        self.disc = ParallelWaveGANDiscriminator()
+        frames = hp.get("max_samples", 8192) // hp["hop_size"]
+        hop = int(np.prod(self.model.upsample_scales))
+        assert hop == hp["hop_size"], (hop, hp["hop_size"])
+        ctx = self.model.aux_context_window
+        z = jnp.zeros((1, frames * hop, 1))
+        c = jnp.zeros((1, frames + 2 * ctx, hp["audio_num_mel_bins"]))
+        gv = self.model.init(jax.random.PRNGKey(0), z, c)
+        dv = self.disc.init(jax.random.PRNGKey(1), jnp.zeros((1, frames * hop)))
+        state = {"params": gv["params"], "disc": dv["params"]}
+        b1, b2 = 0.9, 0.999
+        self.tx_gen = optax.chain(
+            optax.clip_by_global_norm(hp.get("generator_grad_norm", 10)),
+            optax.scale_by_adam(b1=b1, b2=b2))
+        self.tx_disc = optax.chain(
+            optax.clip_by_global_norm(hp.get("discriminator_grad_norm", 1)),
+            optax.scale_by_adam(b1=b1, b2=b2))
+        gsp = hp.get("generator_scheduler_params", {"step_size": 200000,
+                                                    "gamma": 0.5})
+        dsp = hp.get("discriminator_scheduler_params", gsp)
+        self.sched_gen = step_lr_schedule(
+            hp.get("generator_optimizer_params", {}).get("lr", 1e-4),
+            gsp["step_size"], gsp["gamma"])
+        self.sched_disc = step_lr_schedule(
+            hp.get("discriminator_optimizer_params", {}).get("lr", 5e-5),
+            dsp["step_size"], dsp["gamma"])
+        state["opt_gen"] = self.tx_gen.init(state["params"])
+        state["opt_disc"] = self.tx_disc.init(state["disc"])
+        self.state = replicate_state(state, self.mesh)
+        return self.model
+
+    def _gen_step(self):
+        if "gen" in self._step_cache:
+            return self._step_cache["gen"]
+        hp = hparams
+        lam_adv = hp.get("lambda_adv", 4.0)
+        ctx = self.model.aux_context_window
+        from ..models.stft_loss import multi_resolution_stft_loss
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch, rng, lr):
+            def loss_fn(params):
+                z = jax.random.normal(rng, batch["wavs"].shape)[:, :, None]
+                c = jnp.pad(batch["mels"], ((0, 0), (ctx, ctx), (0, 0)),
+                            mode="edge")
+                y_hat = self.model.apply({"params": params}, z, c)
+                sc, mag = multi_resolution_stft_loss(y_hat, batch["wavs"])
+                losses = {"sc": sc, "mag": mag}
+                d_out = self.disc.apply({"params": state["disc"]}, y_hat)
+                losses["a"] = mse(d_out, 1.0) * lam_adv
+                return sum(losses.values()), (losses, jax.lax.stop_gradient(y_hat))
+
+            grads, (losses, y_hat) = jax.grad(loss_fn, has_aux=True)(state["params"])
+            updates, new_opt = self.tx_gen.update(grads, state["opt_gen"],
+                                                  state["params"])
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            state = dict(state)
+            state.update(params=optax.apply_updates(state["params"], updates),
+                         opt_gen=new_opt)
+            return state, losses, y_hat
+
+        self._step_cache["gen"] = step
+        return step
+
+    def _disc_step(self):
+        if "disc" in self._step_cache:
+            return self._step_cache["disc"]
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch, y_hat, lr):
+            def loss_fn(dparams):
+                real = self.disc.apply({"params": dparams}, batch["wavs"])
+                fake = self.disc.apply({"params": dparams}, y_hat)
+                losses = {"r": mse(real, 1.0), "f": mse(fake, 0.0)}
+                return sum(losses.values()), losses
+
+            grads, losses = jax.grad(loss_fn, has_aux=True)(state["disc"])
+            updates, new_opt = self.tx_disc.update(grads, state["opt_disc"],
+                                                   state["disc"])
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            state = dict(state)
+            state.update(disc=optax.apply_updates(state["disc"], updates),
+                         opt_disc=new_opt)
+            return state, losses
+
+        self._step_cache["disc"] = step
+        return step
+
+    def validation_step(self, batch, batch_idx: int):
+        from ..models.stft_loss import multi_resolution_stft_loss
+        ctx = self.model.aux_context_window
+        z = jax.random.normal(self._next_rng(),
+                              batch["wavs"].shape)[:, :, None]
+        c = np.pad(batch["mels"], ((0, 0), (ctx, ctx), (0, 0)), mode="edge")
+        y_hat = self.model.apply({"params": self.state["params"]}, z, c)
+        sc, mag = multi_resolution_stft_loss(y_hat, batch["wavs"])
+        losses = {"sc": float(sc), "mag": float(mag)}
+        return {"losses": losses, "total_loss": sum(losses.values()),
+                "nsamples": batch["nsamples"]}

@@ -144,3 +144,53 @@ def test_vocoder_task(env):
     assert "mel" in outs[0] and "r_p" in outs[1]
     val = task.validation_step(batch, 0)
     assert np.isfinite(val["total_loss"])
+
+
+def test_stft_loss_and_melgan():
+    import jax
+    import jax.numpy as jnp
+    from neuralsvb_tpu.models.melgan import (MelGANGenerator,
+                                             MelGANMultiScaleDiscriminator)
+    from neuralsvb_tpu.models.stft_loss import multi_resolution_stft_loss
+    rng = np.random.RandomState(0)
+    y = jnp.asarray(rng.randn(2, 4096).astype(np.float32) * 0.1)
+    sc0, mag0 = multi_resolution_stft_loss(y, y)
+    assert float(sc0) < 1e-5 and float(mag0) < 1e-5
+    y2 = y + 0.05 * jnp.asarray(rng.randn(2, 4096).astype(np.float32))
+    sc1, mag1 = multi_resolution_stft_loss(y2, y)
+    assert float(sc1) > 0 and float(mag1) > 0
+
+    g = MelGANGenerator(channels=32, upsample_scales=(4, 4, 8), stacks=2)
+    mel = jnp.zeros((1, 8, 80))
+    v = g.init(jax.random.PRNGKey(0), mel)
+    wav = g.apply(v, mel)
+    assert wav.shape == (1, 8 * 128)
+    d = MelGANMultiScaleDiscriminator()
+    dv = d.init(jax.random.PRNGKey(1), wav)
+    outs = d.apply(dv, wav)
+    assert len(outs) == 3 and outs[0][0].ndim == 2
+
+
+def test_pwg_training_task(env):
+    root, cfg = env
+    from neuralsvb_tpu.hparams import hparams
+    hparams.clear()
+    hparams.update(cfg)
+    hparams.update({
+        "max_samples": 2048, "max_sentences": 2,
+        "generator_params": {"layers": 4, "stacks": 2, "residual_channels": 8,
+                             "gate_channels": 16, "skip_channels": 8,
+                             "upsample_scales": [4, 4, 8]},
+        "aux_context_window": 2, "lambda_adv": 4.0,
+        "generator_grad_norm": 10, "discriminator_grad_norm": 1,
+        "disc_start_steps": 0,
+    })
+    from neuralsvb_tpu.tasks.vocoder_task import PWGTask
+    task = PWGTask()
+    task.build_model()
+    batch = next(iter(task.train_dataloader()))
+    outs = _steps(task, batch, step=5)
+    assert "sc" in outs[0] and "mag" in outs[0] and "a" in outs[0]
+    assert "r" in outs[1] and "f" in outs[1]
+    val = task.validation_step(batch, 0)
+    assert np.isfinite(val["total_loss"])
