@@ -164,6 +164,63 @@ class SVBParaTask(AdversarialTaskBase):
             losses["asr_p"] = cross_entropy_ignore0(logits, tokens)
 
     # ------------------------------------------------------------------
+    # inference (reference: svb_para.py:275-353)
+    def test_start(self):
+        from multiprocessing.pool import ThreadPool
+        from ..vocoders.base import get_vocoder_cls
+        self.saving_result_pool = ThreadPool(8)
+        self.saving_results_futures = []
+        self.vocoder = get_vocoder_cls(hparams)(dict(hparams))
+        self.results_id = 0
+
+    def test_step(self, batch, batch_idx: int):
+        assert batch["nsamples"] == 1, "inference supports batch_size=1"
+        b = self.prep_batch(batch, infer=True)
+        losses = {}
+        fakes = {}
+        stats = self.state["batch_stats"]
+        for i, way in enumerate(self.concurrent_ways):
+            out, stats = self._one_way(self.state["params"], stats, b, way,
+                                       jax.random.fold_in(self._next_rng(), i),
+                                       train=False)
+            fakes[way] = np.asarray(out["mel_out"][0])
+        f0s = {"a2a": denorm_f0(batch["f0"], batch["uv"], hparams),
+               "p2p": denorm_f0(batch["prof_f0"], batch["prof_uv"], hparams)}
+        f0s["a2p"], f0s["p2a"] = f0s["p2p"], f0s["a2a"]
+        lens = {"a2a": int(batch["mel_lengths"][0]),
+                "p2p": int(batch["prof_mel_lengths"][0])}
+        lens["a2p"], lens["p2a"] = lens["p2p"], lens["a2a"]
+        gen_dir = os.path.join(
+            hparams["work_dir"],
+            f"generated_{self.global_step}_{hparams['gen_dir_name']}")
+        wavs_dict = {
+            "gt_a_wavout": self.vocoder.spec2wav(
+                np.asarray(batch["mels"][0][: lens["a2a"]]),
+                f0=np.asarray(f0s["a2a"][0][: lens["a2a"]])),
+            "gt_p_wavout": self.vocoder.spec2wav(
+                np.asarray(batch["prof_mels"][0][: lens["p2p"]]),
+                f0=np.asarray(f0s["p2p"][0][: lens["p2p"]])),
+        }
+        for way in self.concurrent_ways:
+            L = lens[way]
+            wavs_dict[f"{way}_wavout"] = self.vocoder.spec2wav(
+                fakes[way][:L], f0=np.asarray(f0s[way][0][:L]))
+        base_fn = f"[{self.results_id:06d}][{batch['item_name'][0]}][P]" \
+            .replace(" ", "_")
+        self.results_id += 1
+        from .svb_vae_task import SVBVAETaskBase
+        self.saving_results_futures.append(self.saving_result_pool.apply_async(
+            SVBVAETaskBase.save_result, args=[wavs_dict, base_fn, gen_dir, {}]))
+        return {"item_name": batch["item_name"][0]}
+
+    def test_end(self, outputs):
+        self.saving_result_pool.close()
+        for f in self.saving_results_futures:
+            f.get()
+        self.saving_result_pool.join()
+        return {}
+
+    # ------------------------------------------------------------------
     def train_dataloader(self, n_devices=None):
         ds = self.dataset_cls(hparams["train_set_name"], shuffle=True)
         return self.build_dataloader(ds, True, hparams["max_tokens"],

@@ -194,3 +194,50 @@ def test_pwg_training_task(env):
     assert "r" in outs[1] and "f" in outs[1]
     val = task.validation_step(batch, 0)
     assert np.isfinite(val["total_loss"])
+
+
+def test_svb_para_inference(env, tmp_path_factory):
+    root, cfg = env
+    from neuralsvb_tpu.hparams import hparams
+    hparams.clear()
+    hparams.update(cfg)
+    hparams.update({"concurrent_ways": "a2a,p2p,a2p", "infer": True,
+                    "vocoder_ckpt": str(root / "novoc"),
+                    "upsample_rates": [8, 4, 4], "upsample_kernel_sizes": [16, 8, 8],
+                    "upsample_initial_channel": 8, "use_pitch_embed": True,
+                    "gen_dir_name": "", "work_dir": str(root / "work_para")})
+    from neuralsvb_tpu.tasks.svb_para import SVBParaTask
+    task = SVBParaTask()
+    task.build_model()
+    task.global_step = 7
+    task.test_start()
+    loader = task.test_dataloader()
+    outs = []
+    for i, b in enumerate(loader):
+        outs.append(task.test_step(b, i))
+        break
+    task.test_end(outs)
+    gen = os.path.join(str(root / "work_para"), "generated_7_")
+    for sub in ["gt_a_wavout", "a2p_wavout"]:
+        d = os.path.join(gen, "wavs", sub)
+        assert os.path.isdir(d) and len(os.listdir(d)) == 1, d
+    hparams["infer"] = False
+
+
+def test_vc_raw_wav_inputs(env):
+    root, cfg = env
+    from neuralsvb_tpu.hparams import hparams
+    hparams.clear()
+    hparams.update(cfg)
+    hparams.update({"use_pitch_embed": True, "pitch_norm": "standard",
+                    "use_uv": True, "f0_mean": 220.0, "f0_std": 60.0,
+                    "normalize_pitch": False, "frames_multiple": 4,
+                    "vocoder": "pwg", "vocoder_ckpt": ""})
+    from neuralsvb_tpu.tasks.vc_ppg import load_test_inputs
+    wav_dir = str(root / "processed" / "data" / "p1")
+    import glob as g
+    wavs = sorted(g.glob(os.path.join(wav_dir, "*.wav")))[:2]
+    items, sizes = load_test_inputs(wavs, ["w0", "w1"])
+    assert len(items) == 2
+    assert items[0]["mel"].shape[1] == 80
+    assert "f0" in items[0] and "pitch" in items[0]
