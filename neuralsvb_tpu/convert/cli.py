@@ -14,7 +14,6 @@ import argparse
 import os
 import re
 
-import numpy as np
 from flax import serialization
 
 

@@ -10,7 +10,7 @@ logits for the CE training loss. In SVB training the whole module is frozen
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ showing D the same windows for real/fake, svb_para.py:118-170).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

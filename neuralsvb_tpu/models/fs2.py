@@ -8,7 +8,7 @@ static ``max_frames`` (bucketed) for the length regulator.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -12,14 +12,14 @@ reference keeps [B, L, Tz]); global latents have Tz == 1.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import BatchNorm1d, Embedding
+from .common import BatchNorm1d
 from .wn import WN
 
 

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.mel_filters import mel_filterbank
-from ..ops.stft import stft_mag_np
 
 GE2E_SR = 16000
 GE2E_N_FFT = 400

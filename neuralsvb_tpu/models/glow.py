@@ -8,8 +8,6 @@ over a WN stack + channel flip). Layout [B, T, C]; masks [B, T, 1].
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -9,7 +9,7 @@ stacks of grouped strided convs over average-pooled waveforms.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ and the 30-layer gated WaveNet compile to one XLA program.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

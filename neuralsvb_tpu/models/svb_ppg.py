@@ -15,7 +15,7 @@ repeats the PPG x stride, gathers, then average-pools back
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,7 @@ static output shapes; with ground-truth durations (the SVB configs set
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax

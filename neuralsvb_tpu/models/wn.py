@@ -13,8 +13,6 @@ the optimization geometry and the reference removes it at inference anyway
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

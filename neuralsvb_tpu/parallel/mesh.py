@@ -10,8 +10,6 @@ for future tensor sharding (models here are 20-40M params so DP suffices).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -12,7 +12,7 @@ from __future__ import annotations
 import json
 import os
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,10 +21,10 @@ import optax
 
 from ..hparams import hparams
 from ..models.disc import Discriminator
-from ..parallel.mesh import make_mesh, replicate_state, shard_batch
+from ..parallel.mesh import make_mesh, replicate_state
 from ..training.schedulers import rsqrt_schedule, step_lr_schedule
 from .base_task import BaseTask
-from .svb_vae_task import add_mel_loss, mse, nan_guard, parse_mel_losses
+from .svb_vae_task import mse, parse_mel_losses
 
 
 def cross_entropy_ignore0(logits, targets):

@@ -9,7 +9,7 @@ model construction, jitted step functions and dataloaders; the Trainer
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 

@@ -22,7 +22,7 @@ from ..ops.pitch_utils import denorm_f0
 from ..parallel.mesh import shard_batch
 from ..training.checkpoint import load_sub_params
 from .adv_base import AdversarialTaskBase, cross_entropy_ignore0
-from .svb_vae_task import add_mel_loss, nan_guard
+from .svb_vae_task import add_mel_loss
 
 WAY_SRC = {"a2a": ("", ""), "p2p": ("prof_", "prof_"),
            "a2p": ("", "prof_"), "p2a": ("prof_", "")}

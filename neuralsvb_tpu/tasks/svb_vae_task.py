@@ -26,7 +26,7 @@ import json
 import os
 from functools import partial
 from multiprocessing.pool import ThreadPool
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -575,7 +575,7 @@ class SVBVAETaskBase(BaseTask):
                 or self.global_step % hparams["valid_infer_interval"] != 0
                 or batch_idx >= hparams.get("num_valid_plots", 0)):
             return
-        from ..utils.plot import spec_f0_to_figure, spec_to_figure
+        from ..utils.plot import spec_to_figure
         if self.vocoder is None:
             from ..vocoders.base import get_vocoder_cls
             self.vocoder = get_vocoder_cls(hparams)(dict(hparams))

@@ -14,8 +14,6 @@ and (for NSF) ``with_f0: true``.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np

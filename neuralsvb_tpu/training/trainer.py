@@ -25,7 +25,7 @@ import numpy as np
 from tqdm import tqdm
 
 from ..hparams import hparams
-from ..tasks.base_task import AvgrageMeter, tensors_to_scalars
+from ..tasks.base_task import tensors_to_scalars
 from .checkpoint import restore_checkpoint, save_checkpoint
 
 
