@@ -49,8 +49,61 @@ def bench_vocoder_rtf(n_frames: int = 2048, iters: int = 10, warmup: int = 3):
     return dt / audio_sec, audio_sec, dt
 
 
+def bench_e2e_svb(n_frames: int = 1536, iters: int = 5, warmup: int = 2):
+    """Full a2p path: MleSVBVAE forward (a2a+p2p+a2p) + HiFiGAN-NSF vocoding
+    of the a2p mel, one utterance per call (BASELINE.json config #4)."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _batch, _flagship_hparams
+    from neuralsvb_tpu.hparams import hparams
+    from neuralsvb_tpu.models.hifigan import HifiGanGenerator
+    from neuralsvb_tpu.models.svb_vae import SVBVAE
+
+    hp = _flagship_hparams()
+    hparams.update({k: v for k, v in hp.items() if k not in hparams})
+    model = SVBVAE(dict_size=100, variant="mle")
+    b = _batch(1, n_frames, n_frames)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, b["mels"], b["prof_mels"], b["pitch"],
+                           b["prof_pitch"], b["multi_spk_emb"][:, 0],
+                           b["a2p_f0_alignment"],
+                           concurrent_ways=("a2a", "p2p", "a2p"))
+    voc = HifiGanGenerator(upsample_rates=(8, 8, 2),
+                           upsample_kernel_sizes=(16, 16, 4),
+                           upsample_initial_channel=512, use_pitch_embed=True)
+    f0 = np.full((1, n_frames), 220.0, np.float32)
+    voc_vars = voc.init({"params": jax.random.PRNGKey(3),
+                         "noise": jax.random.PRNGKey(4)},
+                        b["mels"][:, :8], f0[:, :8])
+
+    @jax.jit
+    def e2e(params, voc_params, mels, prof_mels, pitch, prof_pitch, spk, align,
+            f0, key):
+        out = model.apply({"params": params}, mels, prof_mels, pitch,
+                          prof_pitch, spk, align,
+                          concurrent_ways=("a2a", "p2p", "a2p"),
+                          rngs={"noise": key})
+        return voc.apply({"params": voc_params}, out["a2p"]["mel_out"], f0,
+                         rngs={"noise": key})
+
+    args = (variables["params"], voc_vars["params"], b["mels"], b["prof_mels"],
+            b["pitch"], b["prof_pitch"], b["multi_spk_emb"][:, 0],
+            b["a2p_f0_alignment"], f0)
+    key = jax.random.PRNGKey(5)
+    for _ in range(warmup):
+        e2e(*args, key).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(iters):
+        e2e(*args, jax.random.fold_in(key, i)).block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    audio_sec = n_frames * HOP / SR
+    return 1.0 / dt, dt / audio_sec, audio_sec
+
+
 def main():
     rtf, audio_sec, dt = bench_vocoder_rtf()
+    utt_per_sec, e2e_rtf, e2e_audio = bench_e2e_svb()
     result = {
         "metric": "hifigan_nsf_vocoder_rtf_per_chip",
         "value": round(rtf, 6),
@@ -58,6 +111,9 @@ def main():
         "vs_baseline": round(TARGET_RTF / rtf, 3),
         "detail": {"audio_sec_per_call": round(audio_sec, 3),
                    "compute_sec_per_call": round(dt, 4),
+                   "e2e_svb_utterances_per_sec": round(utt_per_sec, 2),
+                   "e2e_svb_rtf": round(e2e_rtf, 6),
+                   "e2e_utt_audio_sec": round(e2e_audio, 2),
                    "device": str(__import__("jax").devices()[0])},
     }
     print(json.dumps(result))
