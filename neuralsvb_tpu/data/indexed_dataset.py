@@ -1,0 +1,65 @@
+"""Pickle-blob packed dataset with an offset index.
+
+On-disk compatible with the reference format
+(reference: utils/indexed_datasets.py:7-54): ``<path>.data`` is a stream of
+pickled dicts, ``<path>.idx`` a numpy-saved {'offsets': [...]}. Keeping the
+format lets packed datasets produced by the PyTorch reference be read
+directly.
+"""
+
+from __future__ import annotations
+
+import pickle
+from copy import deepcopy
+
+import numpy as np
+
+
+class IndexedDataset:
+    def __init__(self, path: str, num_cache: int = 1):
+        self.path = path
+        self.data_offsets = np.load(f"{path}.idx", allow_pickle=True).item()["offsets"]
+        self.data_file = open(f"{path}.data", "rb", buffering=-1)
+        self.cache = []
+        self.num_cache = num_cache
+
+    def check_index(self, i: int):
+        if i < 0 or i >= len(self.data_offsets) - 1:
+            raise IndexError("index out of range")
+
+    def __del__(self):
+        if getattr(self, "data_file", None):
+            self.data_file.close()
+
+    def __getitem__(self, i: int):
+        self.check_index(i)
+        if self.num_cache > 0:
+            for c in self.cache:
+                if c[0] == i:
+                    return c[1]
+        self.data_file.seek(self.data_offsets[i])
+        b = self.data_file.read(self.data_offsets[i + 1] - self.data_offsets[i])
+        item = pickle.loads(b)
+        if self.num_cache > 0:
+            self.cache = [(i, deepcopy(item))] + self.cache[:-1]
+        return item
+
+    def __len__(self):
+        return len(self.data_offsets) - 1
+
+
+class IndexedDatasetBuilder:
+    def __init__(self, path: str):
+        self.path = path
+        self.out_file = open(f"{path}.data", "wb")
+        self.byte_offsets = [0]
+
+    def add_item(self, item):
+        s = pickle.dumps(item)
+        n = self.out_file.write(s)
+        self.byte_offsets.append(self.byte_offsets[-1] + n)
+
+    def finalize(self):
+        self.out_file.close()
+        np.save(open(f"{self.path}.idx", "wb"),
+                {"offsets": self.byte_offsets})
