@@ -69,6 +69,7 @@ def bench_e2e_svb(n_frames: int = 1536, iters: int = 5, warmup: int = 2):
                            b["prof_pitch"], b["multi_spk_emb"][:, 0],
                            b["a2p_f0_alignment"],
                            concurrent_ways=("a2a", "p2p", "a2p"))
+    batch_stats = variables.get("batch_stats", {})
     voc = HifiGanGenerator(upsample_rates=(8, 8, 2),
                            upsample_kernel_sizes=(16, 16, 4),
                            upsample_initial_channel=512, use_pitch_embed=True)
@@ -80,8 +81,8 @@ def bench_e2e_svb(n_frames: int = 1536, iters: int = 5, warmup: int = 2):
     @jax.jit
     def e2e(params, voc_params, mels, prof_mels, pitch, prof_pitch, spk, align,
             f0, key):
-        out = model.apply({"params": params}, mels, prof_mels, pitch,
-                          prof_pitch, spk, align,
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          mels, prof_mels, pitch, prof_pitch, spk, align,
                           concurrent_ways=("a2a", "p2p", "a2p"),
                           rngs={"noise": key})
         return voc.apply({"params": voc_params}, out["a2p"]["mel_out"], f0,

@@ -36,7 +36,9 @@ class VCPPG(nn.Module):
     asr_enc_layers: int = 2
     asr_dec_layers: int = 2
     asr_last_norm: bool = False
-    ref_enc_out: int = 256
+    ref_enc_out: int = 256  # must stay 256 when mixing the multi_spk_emb
+                            # path with the ref-encoder path (both feed the
+                            # same encoded_embed_proj; reference uses 256)
     use_energy: bool = True
     use_spk_id: bool = False
     num_spk: int = 100

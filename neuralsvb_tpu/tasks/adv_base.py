@@ -75,6 +75,11 @@ class AdversarialTaskBase(BaseTask):
     def frozen_keys(self) -> Tuple[str, ...]:
         return ()
 
+    def build_extra_discs(self):
+        """Hook for variants with additional discriminators
+        (e.g. ParaPPGSpkConsistentTask's speaker discriminator)."""
+        return
+
     # ------------------------------------------------------------------
     def build_model(self):
         hp = hparams
@@ -86,15 +91,22 @@ class AdversarialTaskBase(BaseTask):
             reduction=hp["disc_reduction"],
             cond_size=hp["hidden_size"] if hp["use_cond_disc"] else 0,
         ) if hp.get("mel_gan") else None
+        self.discriminators = {}
+        if self.mel_disc is not None:
+            self.discriminators[""] = self.mel_disc
+            self.build_extra_discs()
         state = {"params": params, "batch_stats": batch_stats}
         if self.mel_disc is not None:
             dd = np.zeros((2, 2 * max(self.mel_disc.time_lengths),
                            hp["audio_num_mel_bins"]), np.float32)
-            dv = self.mel_disc.init({"params": jax.random.PRNGKey(2),
-                                     "disc": jax.random.PRNGKey(3),
-                                     "dropout": jax.random.PRNGKey(4)}, dd, train=True)
-            state["disc_params"] = dv["params"]
-            state["disc_batch_stats"] = dv.get("batch_stats", {})
+            state["disc_params"], state["disc_batch_stats"] = {}, {}
+            for name, disc in self.discriminators.items():
+                dv = disc.init({"params": jax.random.fold_in(jax.random.PRNGKey(2),
+                                                             hash(name) % 100),
+                                "disc": jax.random.PRNGKey(3),
+                                "dropout": jax.random.PRNGKey(4)}, dd, train=True)
+                state["disc_params"][name] = dv["params"]
+                state["disc_batch_stats"][name] = dv.get("batch_stats", {})
         self._build_optimizers(state)
         self.state = replicate_state(state, self.mesh)
         return self.model
@@ -167,13 +179,16 @@ class AdversarialTaskBase(BaseTask):
                     params, state["batch_stats"], batch, k_fwd, train=True)
                 if disc_on and self.mel_disc is not None:
                     for i, (name, mel_p) in enumerate(fakes.items()):
-                        o = self.mel_disc.apply(
-                            {"params": state["disc_params"],
-                             "batch_stats": state["disc_batch_stats"]},
-                            mel_p, rngs={"disc": jax.random.fold_in(k_disc, i)})
-                        if o["y"] is not None:
-                            losses[f"{name}a" if name else "a"] = \
-                                mse(o["y"], 1.0) * lam_adv
+                        for j, (dname, disc) in enumerate(
+                                self.discriminators.items()):
+                            o = disc.apply(
+                                {"params": state["disc_params"][dname],
+                                 "batch_stats": state["disc_batch_stats"][dname]},
+                                mel_p, rngs={"disc": jax.random.fold_in(
+                                    k_disc, i * 17 + j)})
+                            if o["y"] is not None:
+                                key = f"{name}{dname}a" if (name or dname) else "a"
+                                losses[key] = mse(o["y"], 1.0) * lam_adv
                 total = sum(losses.values())
                 sg = jax.lax.stop_gradient
                 return total, (losses, {k: sg(v) for k, v in fakes.items()},
@@ -201,27 +216,32 @@ class AdversarialTaskBase(BaseTask):
         def disc_step(state, fakes, gts, rng, lr):
             def loss_fn(disc_params):
                 losses = {}
-                stats = state["disc_batch_stats"]
+                stats = dict(state["disc_batch_stats"])
                 for i, name in enumerate(fakes):
-                    kr, kf = jax.random.split(jax.random.fold_in(rng, i))
-                    kr, kr_d = jax.random.split(kr)
-                    kf, kf_d = jax.random.split(kf)
-                    o_r, m1 = self.mel_disc.apply(
-                        {"params": disc_params, "batch_stats": stats},
-                        gts[name], train=True,
-                        rngs={"disc": kr, "dropout": kr_d},
-                        mutable=["batch_stats"])
-                    stats = m1["batch_stats"]
-                    o_f, m2 = self.mel_disc.apply(
-                        {"params": disc_params, "batch_stats": stats},
-                        fakes[name], train=True,
-                        rngs={"disc": kf, "dropout": kf_d},
-                        mutable=["batch_stats"])
-                    stats = m2["batch_stats"]
-                    if o_r["y"] is not None:
-                        losses[f"{name}r" if name else "r"] = mse(o_r["y"], 1.0)
-                    if o_f["y"] is not None:
-                        losses[f"{name}f" if name else "f"] = mse(o_f["y"], 0.0)
+                    for j, (dname, disc) in enumerate(self.discriminators.items()):
+                        kr, kf = jax.random.split(
+                            jax.random.fold_in(rng, i * 17 + j))
+                        kr, kr_d = jax.random.split(kr)
+                        kf, kf_d = jax.random.split(kf)
+                        o_r, m1 = disc.apply(
+                            {"params": disc_params[dname],
+                             "batch_stats": stats[dname]},
+                            gts[name], train=True,
+                            rngs={"disc": kr, "dropout": kr_d},
+                            mutable=["batch_stats"])
+                        stats[dname] = m1["batch_stats"]
+                        o_f, m2 = disc.apply(
+                            {"params": disc_params[dname],
+                             "batch_stats": stats[dname]},
+                            fakes[name], train=True,
+                            rngs={"disc": kf, "dropout": kf_d},
+                            mutable=["batch_stats"])
+                        stats[dname] = m2["batch_stats"]
+                        pre = f"{name}{dname}" if (name or dname) else ""
+                        if o_r["y"] is not None:
+                            losses[f"{pre}r" if pre else "r"] = mse(o_r["y"], 1.0)
+                        if o_f["y"] is not None:
+                            losses[f"{pre}f" if pre else "f"] = mse(o_f["y"], 0.0)
                 total = sum(losses.values()) if losses else jnp.zeros(())
                 return total, (losses, stats)
 

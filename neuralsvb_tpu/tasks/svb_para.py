@@ -67,6 +67,10 @@ class SVBParaTask(AdversarialTaskBase):
         rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
         v1 = self.model.init(rngs, mels, mels, pitch, energy, spk, tech, align)
         v2 = self.model.init(rngs, mels, tokens, method=self.model.train_vc_asr)
+        # a third init with spk=None creates the ref_encoder branch (used by
+        # AmtSpk and non-para configs) so all data-dependent branches exist
+        v3 = (self.model.init(rngs, mels, mels, pitch, energy, None, tech, align)
+              if not hparams["use_spk_id"] else {"params": {}})
 
         def merge(a, b):
             if not isinstance(a, dict):
@@ -76,15 +80,17 @@ class SVBParaTask(AdversarialTaskBase):
                 out[k] = merge(a[k], vv) if k in a else vv
             return out
 
-        params = merge(dict(v1["params"]), v2["params"])
+        params = merge(merge(dict(v1["params"]), v2["params"]),
+                       dict(v3.get("params", {})))
         asr_ckpt = hparams.get("pretrain_asr_ckpt", "")
         if self.freeze_asr and asr_ckpt:
             from flax import serialization
             loaded = load_sub_params(params["vc_asr"], asr_ckpt,
                                      key_path=("state", "params", "vc_asr"))
             params["vc_asr"] = serialization.from_state_dict(params["vc_asr"], loaded)
-        return params, merge(dict(v1.get("batch_stats", {})),
-                             v2.get("batch_stats", {}))
+        return params, merge(merge(dict(v1.get("batch_stats", {})),
+                                   v2.get("batch_stats", {})),
+                             dict(v3.get("batch_stats", {})))
 
     def frozen_keys(self):
         return ("vc_asr",) if self.freeze_asr else ()
@@ -304,10 +310,43 @@ class ParaPPGPretrainedTask(SVBParaTask):
 
 
 class ParaPPGSpkConsistentTask(ParaPPGPretrainedTask):
-    """Adds a second (speaker) discriminator over generated mels
-    (reference: svb_para.py:533-631). Shares the mel_disc machinery; the spk
-    disc reuses the same fake/real pairs keyed separately."""
+    """Adds a second (speaker-consistency) discriminator over generated mels
+    (reference: svb_para.py:533-631). With ``use_cond_disc`` off (the shipped
+    default) the reference's spk disc degenerates to a second unconditional
+    mel discriminator, which is what this builds; conditional speaker
+    embedding input follows ``use_cond_disc``."""
+
+    def build_extra_discs(self):
+        from ..models.disc import Discriminator
+        hp = hparams
+        self.spk_disc = Discriminator(
+            time_lengths=tuple([32, 64, 128][: hp["disc_win_num"]]),
+            freq_length=hp["audio_num_mel_bins"],
+            hidden_size=hp["mel_disc_hidden_size"], norm_type=hp["disc_norm"],
+            reduction=hp["disc_reduction"],
+            cond_size=hp["hidden_size"] if hp["use_cond_disc"] else 0)
+        self.discriminators["_spk"] = self.spk_disc
 
 
 class AmtSpkTask(ParaPPGPretrainedTask):
-    """reference: svb_para.py:632-687 (amateur-speaker-embedding variant)."""
+    """Amateur mel is the timbre reference for every way
+    (reference: svb_para.py:632-687)."""
+
+    def _one_way(self, params, batch_stats, batch, way, rng, train):
+        src, tgt = WAY_SRC[way]
+        mels_content = batch[f"{src}mels"]
+        pitch = batch[f"{tgt}pitch"]
+        energy = None
+        tech = (jnp.ones if tgt == "prof_" else jnp.zeros)(
+            (mels_content.shape[0],), jnp.int32)
+        align = None
+        if way == "a2p":
+            align = batch["a2p_f0_alignment"]
+        elif way == "p2a":
+            align = batch.get("p2a_f0_alignment")
+        out, mut = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            mels_content, batch["mels"], pitch, energy, None,
+            tech, align, train=train,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        return out, mut["batch_stats"]

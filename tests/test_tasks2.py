@@ -241,3 +241,26 @@ def test_vc_raw_wav_inputs(env):
     assert len(items) == 2
     assert items[0]["mel"].shape[1] == 80
     assert "f0" in items[0] and "pitch" in items[0]
+
+
+def test_spk_consistent_and_amtspk(env):
+    root, cfg = env
+    from neuralsvb_tpu.hparams import hparams
+    hparams.clear()
+    hparams.update(cfg)
+    hparams["concurrent_ways"] = "a2a,p2p,a2p"
+    from neuralsvb_tpu.tasks.svb_para import AmtSpkTask, ParaPPGSpkConsistentTask
+    hparams["ref_enc_out"] = 256  # spk-emb/ref-encoder width must match
+    task = ParaPPGSpkConsistentTask()
+    task.build_model()
+    assert "_spk" in task.discriminators
+    batch = next(iter(task.train_dataloader()))
+    outs = _steps(task, batch)
+    assert any("_spk" in k for k in outs[0]), outs[0].keys()  # spk adv term
+    assert any("_spk" in k for k in outs[1]), outs[1].keys()
+
+    task2 = AmtSpkTask()
+    task2.build_model()
+    outs2 = _steps(task2, batch)
+    assert 0 in outs2 and np.isfinite(sum(
+        float(v) for v in outs2[0].values()))
