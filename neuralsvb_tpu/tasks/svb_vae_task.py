@@ -711,3 +711,21 @@ class SVBVAEMleTask(SVBVAETaskBase):
     """Global latent + MLE-trained z mapping — the shipped flagship config
     (reference: SVBVAEMleTask:543, vae_global_mle_eng.yaml)."""
     variant = "mle"
+
+
+class SVBVAETechMleTask(SVBVAEMleTask):
+    """MLE variant with technique-conditioned prior N(tech_id, 1)
+    (reference model: TechPriorMleSVBVAE, svb_vae.py:315)."""
+    variant = "tech_mle"
+
+    def _get_mapping_keys(self):
+        return ("z_mapping_function",)
+
+
+class SVBVAESegTechMleTask(SVBVAEMleTask):
+    """Tech prior + attention-based PPG alignment
+    (reference model: SegTechPriorMleSVBVAE, svb_vae.py:402)."""
+    variant = "seg_tech_mle"
+
+    def _get_mapping_keys(self):
+        return ("z_mapping_function",)
