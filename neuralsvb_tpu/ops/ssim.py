@@ -23,17 +23,20 @@ def _gaussian_1d(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _blur(x: jax.Array, kernel: jax.Array) -> jax.Array:
+def _blur(x: jax.Array, kernel: np.ndarray) -> jax.Array:
     """Separable gaussian blur with SAME zero padding over the last two dims.
-    x: [B, H, W]."""
-    k = kernel.shape[0]
+    x: [B, H, W]. ``kernel`` must be a HOST array: the taps multiply as
+    python-float constants. Scalar-indexing a device array (``kernel[i]``)
+    inside jit costs ~3 ms per gather on the TPU backend here — with static
+    float weights the whole blur fuses to ~0.1 ms (measured at [12,1536,80]).
+    """
+    k = int(kernel.shape[0])
+    taps = [float(v) for v in np.asarray(kernel)]
     pad = k // 2
-    # along H
     xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
-    xh = sum(xp[:, i:i + x.shape[1], :] * kernel[i] for i in range(k))
-    # along W
+    xh = sum(xp[:, i:i + x.shape[1], :] * taps[i] for i in range(k))
     xp = jnp.pad(xh, ((0, 0), (0, 0), (pad, pad)))
-    return sum(xp[:, :, i:i + x.shape[2]] * kernel[i] for i in range(k))
+    return sum(xp[:, :, i:i + x.shape[2]] * taps[i] for i in range(k))
 
 
 @functools.partial(jax.jit, static_argnames=("window_size", "size_average"))
@@ -42,7 +45,7 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
     """img1/img2: [B, 1, H, W] (channel dim kept for reference API parity)."""
     x = img1[:, 0]
     y = img2[:, 0]
-    kernel = jnp.asarray(_gaussian_1d(window_size, 1.5))
+    kernel = _gaussian_1d(window_size, 1.5)  # host array: taps fold to constants
     mu1 = _blur(x, kernel)
     mu2 = _blur(y, kernel)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
