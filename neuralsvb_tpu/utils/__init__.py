@@ -13,3 +13,10 @@ def num_params(params, print_out: bool = True, model_name: str = "model"):
     if print_out:
         print(f"| {model_name} Trainable Parameters: {n / 1e6:.3f}M")
     return n
+
+
+def tensors_to_np(d):
+    """Device/JAX leaves -> numpy (reference: utils tensors_to_np)."""
+    import jax
+    return jax.tree_util.tree_map(
+        lambda x: _np.asarray(x) if hasattr(x, "shape") else x, d)
