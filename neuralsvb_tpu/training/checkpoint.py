@@ -53,9 +53,10 @@ def save_checkpoint(state: Any, work_dir: str, global_step: int, epoch: int,
     return path
 
 
-def restore_checkpoint(state_template: Any, work_dir: str):
-    """Returns (state, global_step, epoch, best) or (template, 0, 0, None)."""
-    path = get_last_checkpoint(work_dir)
+def restore_checkpoint(state_template: Any, work_dir: str, steps=None):
+    """Returns (state, global_step, epoch, best) or (template, 0, 0, None).
+    ``steps`` pins a specific checkpoint (hparam resume_from_checkpoint)."""
+    path = get_last_checkpoint(work_dir, steps)
     if path is None:
         return state_template, 0, 0, None
     with open(path, "rb") as f:

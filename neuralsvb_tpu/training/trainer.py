@@ -76,9 +76,10 @@ class Trainer:
     def fit(self, task):
         task.trainer = self
         task.build_model()
+        resume_step = hparams.get("resume_from_checkpoint", 0) or None
         state, step, epoch, best = restore_checkpoint(
-            task.state_template(), self.work_dir) if self.work_dir else \
-            (task.state_template(), 0, 0, None)
+            task.state_template(), self.work_dir, resume_step) if self.work_dir \
+            else (task.state_template(), 0, 0, None)
         task.set_state(state)
         self.global_step = task.global_step = step
         self.current_epoch = task.current_epoch = epoch
