@@ -29,6 +29,13 @@ def _save_codes():
 
 def run_task():
     assert hparams["task_cls"] != "", "config must define task_cls"
+    if os.environ.get("NSVB_MULTIHOST") == "1":
+        # multi-host SPMD: one process per host, all chips in one mesh
+        # (SURVEY.md section 5.8; coordinator from JAX_COORDINATOR_ADDRESS etc.)
+        import jax
+        jax.distributed.initialize()
+        print(f"| multihost: process {jax.process_index()}/{jax.process_count()},"
+              f" {jax.device_count()} devices")
     if hparams.get("compute_dtype") == "bfloat16":
         # run matmuls/convs on the MXU in bf16 while keeping f32 params
         import jax
