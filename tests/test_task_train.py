@@ -155,3 +155,30 @@ def test_train_val_infer(task_env):
         d = os.path.join(gen_dir, "mels", sub)
         assert os.path.isdir(d) and len(os.listdir(d)) == 1, d
     hparams["infer"] = False
+
+
+def test_learning_dynamics(task_env):
+    """Gen-step losses decrease when overfitting one batch (validates that
+    gradients actually improve the reconstruction)."""
+    root, cfg = task_env
+    from neuralsvb_tpu.hparams import hparams
+    hparams.clear()
+    hparams.update(cfg)
+    hparams.update({"mesh_shape": "data:1", "lambda_mel_adv": 0.0,
+                    "lr": 0.5, "warmup_updates": 10, "infer": False,
+                    "phase_2_steps": 1000})
+    from neuralsvb_tpu.tasks.svb_vae_task import SVBVAEMleTask
+    task = SVBVAEMleTask()
+    task.build_model()
+    batch = next(iter(task.train_dataloader()))
+    first = None
+    last = None
+    for step in range(30):
+        ret = task.training_step(batch, step, 0)  # phase 2 (gen only)
+        assert ret is not None
+        total, logs = ret
+        recon = float(logs["l1p2p"]) + float(logs["l1a2a"])
+        if first is None:
+            first = recon
+        last = recon
+    assert last < first * 0.9, (first, last)
