@@ -32,7 +32,7 @@ def tensors_to_scalars(d):
     out = {}
     for k, v in d.items():
         if hasattr(v, "item") and np.size(v) == 1:
-            out[k] = float(v)
+            out[k] = float(v)  # device->host fetch happens here, on demand
         else:
             out[k] = v
     return out

@@ -113,24 +113,31 @@ class Trainer:
                     continue
                 if not batch:
                     continue
+                # keep losses as device futures; forcing them to host every
+                # step would serialize the pipeline (profiled: device compute
+                # is a fraction of the synced wall time)
                 logs = {}
                 for opt_idx in range(task.num_optimizers):
                     ret = task.training_step(batch, self.global_step, opt_idx)
                     if ret is None:
                         continue
                     total_loss, log_outputs = ret
-                    logs.update(tensors_to_scalars(log_outputs))
-                    logs[f"total_loss_{opt_idx}"] = float(total_loss)
+                    logs.update(log_outputs)
+                    logs[f"total_loss_{opt_idx}"] = total_loss
                 self.global_step += 1
                 task.global_step = self.global_step
                 pbar.update(1)
-                if logs and self.global_step % 20 == 0:
+                sync_now = (self.global_step % self.tb_log_interval == 0
+                            or (logs and self.global_step % 20 == 0
+                                and sys.stdout.isatty()))
+                if sync_now and logs:
+                    logs = tensors_to_scalars(logs)
                     pbar.set_postfix(
                         **{k: f"{v:.3f}" for k, v in list(logs.items())[:6]
                            if isinstance(v, float)})
-                if self.global_step % self.tb_log_interval == 0:
-                    self.log_metrics({f"tr/{k}": v for k, v in logs.items()},
-                                     self.global_step)
+                    if self.global_step % self.tb_log_interval == 0:
+                        self.log_metrics({f"tr/{k}": v for k, v in logs.items()},
+                                         self.global_step)
                 if self.global_step % self.val_check_interval == 0:
                     self.run_evaluation(task)
         except KeyboardInterrupt:
