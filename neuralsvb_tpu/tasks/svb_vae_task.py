@@ -501,31 +501,55 @@ class SVBVAETaskBase(BaseTask):
             return b
         return shard_batch(b, self.mesh)
 
+    def _make_gen_disc_step(self, ways, disc_on):
+        """Fused generator+discriminator update in ONE dispatch (host dispatch
+        costs ~25 ms/call through the runtime with this many state leaves;
+        fusing halves it). Semantics identical to gen_step then disc_step on
+        the detached fakes."""
+        gen_fn = self._get_step("gen", ways, disc_on)
+        disc_fn = self._get_step("disc", ways, disc_on)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, b, rng, lr_gen, lr_disc):
+            k1, k2 = jax.random.split(rng)
+            # inner jits inline into this trace; inner donation is a no-op
+            state, gen_losses, fakes = gen_fn(state, b, k1, lr_gen)
+            state, disc_losses = disc_fn(state, b, fakes, k2, lr_disc)
+            return state, gen_losses, disc_losses
+
+        return step
+
     def training_step(self, batch, step: int, optimizer_idx: int):
         phase, ways = self.phase_and_ways(step)
         disc_on = self._disc_start(step)
+        run_disc = (disc_on and step % hparams["disc_interval"] == 0)
         if optimizer_idx == 0:
             if phase == 3:
                 return None
             b = self._prep_batch(batch)
-            fn = self._get_step("gen", ways, disc_on)
             lr = self.sched_gen(step)
-            self.state, losses, fakes = fn(self.state, b, self._next_rng(), lr)
-            self._last_fakes, self._last_batch = fakes, b
+            if run_disc:
+                key = ("gen_disc", ways, disc_on)
+                if key not in self._step_cache:
+                    self._step_cache[key] = self._make_gen_disc_step(ways, disc_on)
+                lr_d = self.sched_disc(max(step - hparams["disc_start_steps"], 1))
+                self.state, losses, disc_losses = self._step_cache[key](
+                    self.state, b, self._next_rng(), lr, lr_d)
+                self._pending_disc = (dict(disc_losses), lr_d)
+            else:
+                fn = self._get_step("gen", ways, disc_on)
+                self.state, losses, fakes = fn(self.state, b, self._next_rng(), lr)
+                self._pending_disc = None
             losses = dict(losses)
             losses["lr_0"] = lr
             return sum(v for k, v in losses.items() if k != "lr_0"), losses
         if optimizer_idx == 1:
-            if phase == 3 or not disc_on or \
-                    step % hparams["disc_interval"] != 0 or \
-                    not hasattr(self, "_last_fakes"):
+            if phase == 3 or not getattr(self, "_pending_disc", None):
                 return None
-            fn = self._get_step("disc", ways, disc_on)
-            lr = self.sched_disc(max(step - hparams["disc_start_steps"], 1))
-            self.state, losses = fn(self.state, self._last_batch,
-                                    self._last_fakes, self._next_rng(), lr)
+            losses, lr_d = self._pending_disc
+            self._pending_disc = None
             losses = dict(losses)
-            losses["lr_1"] = lr
+            losses["lr_1"] = lr_d
             return sum(v for k, v in losses.items() if k != "lr_1"), losses
         if optimizer_idx == 2:
             if phase != 3:
@@ -548,16 +572,27 @@ class SVBVAETaskBase(BaseTask):
             return ("a2a", "p2p")
         return ("a2a", "p2p", "a2p")
 
+    def _eval_step_fn(self, ways):
+        """Jitted eval forward + losses (eager apply would dispatch op-by-op)."""
+        key = ("eval", ways)
+        if key not in self._step_cache:
+            @jax.jit
+            def eval_step(params, batch_stats, b, rng):
+                out = self._apply_model(params, batch_stats, b, ways, rng,
+                                        train=False)
+                losses: Dict[str, Any] = {}
+                self._model_losses(out, b, ways, losses)
+                for way in ways:
+                    if "mle" in out.get(way, {}):
+                        losses[f"{way}_mle"] = out[way]["mle"]
+                return out, losses
+            self._step_cache[key] = eval_step
+        return self._step_cache[key]
+
     def _eval_forward(self, batch, ways):
         b = self._prep_batch(batch, infer=True)
-        state = self.state
-        out = self._apply_model(state["params"], state["batch_stats"], b, ways,
-                                self._next_rng(), train=False)
-        losses: Dict[str, Any] = {}
-        self._model_losses(out, b, ways, losses)
-        for way in ways:
-            if "mle" in out.get(way, {}):
-                losses[f"{way}_mle"] = out[way]["mle"]
+        out, losses = self._eval_step_fn(ways)(
+            self.state["params"], self.state["batch_stats"], b, self._next_rng())
         return out, losses, b
 
     def validation_step(self, batch, batch_idx: int):
