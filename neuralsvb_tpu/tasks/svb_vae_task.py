@@ -741,6 +741,12 @@ class SVBVAEBoostTask(SVBVAETaskBase):
     """Global latent, mean/scale mapping (reference: SVBVAEBoostTask:384)."""
     variant = "global"
 
+    def _val_ways(self, step: int) -> Tuple[str, ...]:
+        # Boost validates a2p already in phase 2 (reference: svb_vae_task.py:512-517)
+        if step <= hparams["phase_1_steps"]:
+            return ("p2p",)
+        return ("a2a", "p2p", "a2p")
+
 
 class SVBVAEMleTask(SVBVAETaskBase):
     """Global latent + MLE-trained z mapping — the shipped flagship config
