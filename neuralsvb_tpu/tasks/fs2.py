@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
@@ -136,3 +137,54 @@ class FastSpeech2Task(AdversarialTaskBase):
         ds = self.dataset_cls(hparams["test_set_name"], shuffle=False)
         return self.build_dataloader(ds, False, None, 1,
                                      use_batch_by_size=False, n_devices=1)
+
+
+    # ------------------------------------------------------------------
+    # inference (reference: tasks/tts/fs2.py:after_infer wav saving)
+    def test_start(self):
+        from multiprocessing.pool import ThreadPool
+        from ..vocoders.base import get_vocoder_cls
+        self.saving_result_pool = ThreadPool(8)
+        self.saving_results_futures = []
+        self.vocoder = get_vocoder_cls(hparams)(dict(hparams))
+        self.results_id = 0
+
+    def test_step(self, batch, batch_idx: int):
+        assert batch["nsamples"] == 1, "inference supports batch_size=1"
+        b = self.prep_batch(batch, infer=True)
+        use_gt_dur = hparams.get("use_gt_dur", True) and b.get("mel2ph") is not None
+        out, _ = self.model.apply(
+            {"params": self.state["params"],
+             "batch_stats": self.state["batch_stats"]},
+            b["txt_tokens"], b["mel2ph"] if use_gt_dur else None, b.get("spk"),
+            b["f0"] if hparams.get("use_gt_f0", True) else None,
+            b["uv"] if hparams.get("use_gt_f0", True) else None,
+            b.get("energy"), infer=True,
+            max_frames=None if use_gt_dur else batch["mels"].shape[1],
+            rngs={"dropout": self._next_rng()}, mutable=["batch_stats"])
+        T = int(batch["mel_lengths"][0])
+        mel_pred = np.asarray(out["mel_out"][0][:T])
+        from ..ops.pitch_utils import denorm_f0
+        f0 = np.asarray(denorm_f0(batch["f0"], batch["uv"], hparams)[0][:T])
+        gen_dir = os.path.join(
+            hparams["work_dir"],
+            f"generated_{self.global_step}_{hparams['gen_dir_name']}")
+        wavs = {"P": self.vocoder.spec2wav(mel_pred, f0=f0)}
+        if hparams.get("save_gt", True):
+            wavs["G"] = self.vocoder.spec2wav(np.asarray(batch["mels"][0][:T]),
+                                              f0=f0)
+        base_fn = f"[{self.results_id:06d}][{batch['item_name'][0]}]".replace(" ", "_")
+        self.results_id += 1
+        from .svb_vae_task import SVBVAETaskBase
+        wavs_named = {f"{k.lower()}_wavout": v for k, v in wavs.items()}
+        self.saving_results_futures.append(self.saving_result_pool.apply_async(
+            SVBVAETaskBase.save_result,
+            args=[wavs_named, base_fn, gen_dir, {"mel": mel_pred}]))
+        return {"item_name": batch["item_name"][0]}
+
+    def test_end(self, outputs):
+        self.saving_result_pool.close()
+        for f in self.saving_results_futures:
+            f.get()
+        self.saving_result_pool.join()
+        return {}
