@@ -89,6 +89,8 @@ class FastSpeech2Task(AdversarialTaskBase):
         self._dur_loss(out, batch, losses)
         if hp["use_pitch_embed"]:
             self._pitch_loss(out, batch, losses)
+        if hp.get("use_energy_embed"):
+            self._energy_loss(out, batch, losses)
         return losses, {"": out["mel_out"]}, {"": batch["mels"]}, \
             mut["batch_stats"]
 
@@ -105,6 +107,29 @@ class FastSpeech2Task(AdversarialTaskBase):
             sd = (jnp.log(dur_pred_lin.sum(-1) + 1)
                   - jnp.log(dur_gt.sum(-1) + 1)) ** 2
             losses["sdur"] = sd.mean() * hp["lambda_sent_dur"]
+        if hp.get("lambda_word_dur", 0) > 0 and batch.get("ph2word") is not None:
+            # word-level duration loss via segment sums over ph2word
+            # (reference: fs2.py:208-216)
+            ph2word = batch["ph2word"]  # [B, T_txt], 1-indexed, 0 = pad
+            n_words = int(ph2word.max()) + 1 if hasattr(ph2word, "max") else 64
+            dur_pred_lin = jnp.clip(jnp.exp(out["dur"]) - 1, 0, None) * nonpadding
+            oh = jax.nn.one_hot(ph2word, n_words, dtype=dur_gt.dtype)
+            wd_p = jnp.einsum("bt,btw->bw", dur_pred_lin, oh)[:, 1:]
+            wd_g = jnp.einsum("bt,btw->bw", dur_gt, oh)[:, 1:]
+            keep = (wd_g > 0).astype(dur_gt.dtype)
+            wl = ((jnp.log(wd_p + 1) - jnp.log(wd_g + 1)) ** 2 * keep).sum() \
+                / jnp.maximum(keep.sum(), 1.0)
+            losses["wdur"] = wl * hp["lambda_word_dur"]
+
+    def _energy_loss(self, out, batch, losses):
+        """reference: fs2.py add_energy + EnergyPredictor L1."""
+        hp = hparams
+        if "energy_pred" not in out or batch.get("energy") is None:
+            return
+        nonpadding = (batch["mel2ph"] != 0).astype(jnp.float32)
+        el = (jnp.abs(out["energy_pred"] - batch["energy"]) * nonpadding).sum() \
+            / jnp.maximum(nonpadding.sum(), 1.0)
+        losses["e"] = el * hp.get("lambda_energy", 0.0)
 
     def _pitch_loss(self, out, batch, losses):
         hp = hparams
