@@ -7,7 +7,13 @@ data_gen/singing/binarize_para.py:25-260):
 
 - ``BaseBinarizer``: glob ``{processed_data_dir}/data/*/*.{mp3,wav}``,
   speaker from ``item_name.split('#')[0] + '#'``, per-split
-  IndexedDatasetBuilder, multiprocess ``process_item`` fan-out.
+  IndexedDatasetBuilder, multiprocess ``process_item`` fan-out. When a
+  sibling ``text_labels/`` tree exists next to ``data/`` (one .txt per
+  utterance) the text branches activate: phone encoding via the language's
+  txt_processor (``with_txt``), frame alignment from
+  ``mfa_outputs/*.TextGrid`` (``with_align``, reference:
+  base_binarizer.py:185-216), and word-level packing (``with_word``,
+  reference: base_binarizer.py:255-298).
 - ``SingingBinarizer``: dataset-regex filter + ``test_prefixes`` split.
 - ``PopBuTFyENBinarizer``: pairs ``*_Amateur_N`` with ``*_Professional_N``,
   rejects pairs with mel gap > ``max_mel_tech_gap``, extracts both f0s and
@@ -65,6 +71,9 @@ class BaseBinarizer:
         self.binarization_args = hparams["binarization_args"]
         self.item2wavfn = {}
         self.item2spk = {}
+        self.item2txt = {}
+        self.item2ph = {}
+        self.item2tgfn = {}
         self.num_workers = int(hparams.get("ds_workers", 1)) or 1
 
     def load_meta_data(self):
@@ -72,7 +81,8 @@ class BaseBinarizer:
             wav_fns = sorted(glob.glob(f"{processed_data_dir}/data/*/*.mp3")
                              + glob.glob(f"{processed_data_dir}/data/*/*.wav"))
             for wav_fn in wav_fns:
-                item_name = os.path.splitext(os.path.basename(wav_fn))[0]
+                raw_name = os.path.splitext(os.path.basename(wav_fn))[0]
+                item_name = raw_name
                 if len(self.processed_data_dirs) > 1:
                     item_name = f"ds{ds_id}_{item_name}"
                 self.item2wavfn[item_name] = wav_fn
@@ -80,11 +90,66 @@ class BaseBinarizer:
                 if len(self.processed_data_dirs) > 1:
                     spk = f"ds{ds_id}_{spk}"
                 self.item2spk[item_name] = spk
+                self._load_text_labels(processed_data_dir, wav_fn,
+                                       raw_name, item_name)
         self.item_names = sorted(self.item2wavfn.keys())
         print("| Total items:", len(self.item_names))
         if self.binarization_args.get("shuffle"):
             random.seed(1234)
             random.shuffle(self.item_names)
+
+    def _load_text_labels(self, processed_data_dir, wav_fn, raw_name,
+                          item_name):
+        """Optional text branch inputs: a ``text_labels/`` mirror of
+        ``data/`` (one transcript per utterance) and MFA TextGrids under
+        ``mfa_outputs/`` (reference: base_binarizer.py:43 + data_gen_utils
+        TextGrid ingestion)."""
+        txt_fn = os.path.splitext(
+            wav_fn.replace(f"{os.sep}data{os.sep}",
+                           f"{os.sep}text_labels{os.sep}"))[0] + ".txt"
+        if os.path.exists(txt_fn):
+            with open(txt_fn) as f:
+                txt = f.read().strip()
+            self.item2txt[item_name] = txt
+            lang = hparams.get("pre_align_args", {}).get("txt_processor", "en")
+            from .txt_processors import get_txt_processor_cls
+            phs, _ = get_txt_processor_cls(lang).process(
+                txt, hparams.get("pre_align_args", {}))
+            self.item2ph[item_name] = " ".join(
+                ["<BOS>"] + [p for p in phs if p.strip()] + ["<EOS>"])
+        tg_fn = f"{processed_data_dir}/mfa_outputs/{raw_name}.TextGrid"
+        if os.path.exists(tg_fn):
+            self.item2tgfn[item_name] = tg_fn
+
+    def _phone_encoder(self):
+        """Build/load phone_set.json (reference: data_gen_utils.py
+        build_phone_encoder semantics)."""
+        from ..utils.text_encoder import build_token_encoder
+        fn = f"{hparams['binary_data_dir']}/phone_set.json"
+        if self.binarization_args.get("reset_phone_dict") or not os.path.exists(fn):
+            phones = sorted({p for ph in self.item2ph.values()
+                             for p in ph.split(" ") if p.strip()})
+            with open(fn, "w") as f:
+                json.dump(phones, f)
+            print(f"| Build phone set. Size: {len(phones)}")
+        return build_token_encoder(fn)
+
+    def _word_encoder(self):
+        """Build/load word_set.json (reference: base_binarizer.py:88-104)."""
+        from collections import Counter
+        from ..utils.text_encoder import TokenTextEncoder
+        fn = f"{hparams['binary_data_dir']}/word_set.json"
+        if self.binarization_args.get("reset_word_dict") or not os.path.exists(fn):
+            counts = Counter(w for txt in self.item2txt.values()
+                             for w in txt.split(" ") if w)
+            word_set = [w for w, _ in
+                        counts.most_common(hparams.get("word_size", 30000))]
+            with open(fn, "w") as f:
+                json.dump(word_set, f)
+            print(f"| Build word set. Size: {len(word_set)}")
+        else:
+            word_set = json.load(open(fn))
+        return TokenTextEncoder(None, vocab_list=word_set, replace_oov="<UNK>")
 
     @property
     def train_item_names(self):
@@ -120,6 +185,11 @@ class BaseBinarizer:
         print("| spk_map:", self.spk_map)
         with open(f"{hparams['binary_data_dir']}/spk_map.json", "w") as f:
             json.dump(self.spk_map, f)
+        self.phone_encoder = self.word_encoder = None
+        if self.binarization_args.get("with_txt") and self.item2ph:
+            self.phone_encoder = self._phone_encoder()
+            if self.binarization_args.get("with_word"):
+                self.word_encoder = self._word_encoder()
         self.process_data("valid")
         self.process_data("test")
         self.process_data("train")
@@ -141,7 +211,8 @@ class BaseBinarizer:
         voice_encoder = self._speaker_encoder() \
             if self.binarization_args.get("with_spk_embed") else None
         meta = list(self.meta_data(prefix))
-        args = [list(m) + [self.binarization_args] for m in meta]
+        args = [list(m) + self._text_extras(m[0]) + [self.binarization_args]
+                for m in meta]
         for item in chunked_multiprocess_run(self.process_item, args,
                                              num_workers=self.num_workers):
             if item is None:
@@ -172,18 +243,119 @@ class BaseBinarizer:
                     [float(np.mean(f0s)), float(np.std(f0s))])
         print(f"| {prefix} total duration: {total_sec:.3f}s")
 
+    def _text_extras(self, item_name):
+        """Per-item text-branch payload appended to process_item args; empty
+        unless the text branch is active (keeps subclass signatures stable)."""
+        if not (self.binarization_args.get("with_txt")
+                and getattr(self, "phone_encoder", None) is not None):
+            return []
+        return [self.item2ph.get(item_name), self.item2txt.get(item_name),
+                self.item2tgfn.get(item_name),
+                (self.phone_encoder, self.word_encoder)]
+
     @classmethod
-    def process_item(cls, item_name, wav_fn, spk_id, binarization_args):
+    def process_item(cls, item_name, wav_fn, spk_id, *rest):
+        binarization_args = rest[-1]
         res = {"item_name": item_name, "wav_fn": wav_fn, "spk_id": spk_id}
         wav, mel = _wav2spec(wav_fn)
         res.update({"mel": mel, "wav": wav,
                     "sec": len(wav) / hparams["audio_sample_rate"],
                     "len": mel.shape[0]})
-        if binarization_args.get("with_f0"):
-            cls.get_pitch(res)
-            if binarization_args.get("with_f0cwt"):
-                cls.get_f0cwt(res)
+        try:
+            if binarization_args.get("with_f0"):
+                cls.get_pitch(res)
+                if binarization_args.get("with_f0cwt"):
+                    cls.get_f0cwt(res)
+            if len(rest) > 1:  # text branch (ph, txt, tg_fn, encoders)
+                ph, txt, tg_fn, (ph_enc, word_enc) = rest[:-1]
+                if ph is None:
+                    raise BinarizationError("Empty phoneme")
+                res.update({"txt": txt, "ph": ph,
+                            "phone": np.asarray(ph_enc.encode(ph))})
+                res["ph_len"] = len(res["phone"])
+                if binarization_args.get("with_align"):
+                    cls.get_align(tg_fn, res)
+                    if binarization_args.get("trim_eos_bos"):
+                        cls.trim_eos_bos(res)
+                if binarization_args.get("with_word") and word_enc is not None:
+                    cls.get_word(res, word_enc)
+        except BinarizationError as e:
+            print(f"| Skip item ({e}). item_name: {item_name}")
+            return None
+        except Exception:
+            traceback.print_exc()
+            print(f"| Skip item. item_name: {item_name}, wav_fn: {wav_fn}")
+            return None
         return res
+
+    @staticmethod
+    def get_align(tg_fn, res):
+        """TextGrid -> mel2ph/dur (reference: base_binarizer.py:216-229)."""
+        from .textgrid import get_mel2ph
+        if tg_fn is None or not os.path.exists(tg_fn):
+            raise BinarizationError("Align not found")
+        mel2ph, dur = get_mel2ph(tg_fn, res["ph"], res["mel"], hparams)
+        if mel2ph.max() - 1 >= len(res["phone"]):
+            raise BinarizationError(
+                f"Align mismatch: mel2ph.max()={mel2ph.max()} "
+                f"vs {len(res['phone'])} phones")
+        res["mel2ph"] = mel2ph
+        res["dur"] = dur
+
+    @staticmethod
+    def trim_eos_bos(res):
+        """Drop the aligned <BOS>/<EOS> frames from mel-domain arrays
+        (reference: base_binarizer.py:195-204)."""
+        bos_dur, eos_dur = int(res["dur"][0]), int(res["dur"][-1])
+        if eos_dur <= 0:
+            return
+        hop = hparams["hop_size"]
+        for k in ("mel", "f0", "pitch", "mel2ph"):
+            if k in res:
+                res[k] = res[k][bos_dur:-eos_dur]
+        res["wav"] = res["wav"][bos_dur * hop: -eos_dur * hop]
+        res["dur"] = res["dur"][1:-1]
+        res["len"] = res["mel"].shape[0]
+
+    @staticmethod
+    def get_word(res, word_encoder):
+        """Phone->word packing: ph2word/mel2word/dur_word/word_tokens
+        (reference: base_binarizer.py:255-298). Word boundaries are the
+        txt_processor's '|' separators and punctuation."""
+        from ..utils.text_encoder import is_sil_phoneme
+        ph_split = res["ph"].split(" ")
+        last_idx = []
+        for i, p in enumerate(ph_split):
+            if p == "|":
+                last_idx.append(i)
+            elif not p[0].isalnum():
+                if p != "<BOS>" and (not last_idx or last_idx[-1] != i - 1):
+                    last_idx.append(i - 1)
+                last_idx.append(i)
+        if not last_idx or last_idx[-1] != len(ph_split) - 1:
+            last_idx.append(len(ph_split) - 1)
+        start_idx = [0] + [i + 1 for i in last_idx[:-1]]
+        ph2word = np.zeros(len(ph_split), np.int64)
+        ph_words = []
+        for w, (s, e) in enumerate(zip(start_idx, last_idx)):
+            ph_words.append("_".join(ph_split[s:e + 1]))
+            ph2word[s:e + 1] = w
+        mel2word = [int(ph2word[m - 1]) + 1 for m in res.get("mel2ph", [])]
+        dur_word = np.bincount(np.asarray(mel2word, np.int64),
+                               minlength=len(ph_words) + 1)[1:].tolist() \
+            if mel2word else [0] * len(ph_words)
+        res["ph_words"] = ph_words
+        res["ph2word"] = (ph2word + 1).tolist()
+        res["mel2word"] = mel2word
+        res["dur_word"] = dur_word
+        words = [w for w in res.get("txt", "").split(" ") if w]
+        while words and is_sil_phoneme(words[0]):
+            words = words[1:]
+        while words and is_sil_phoneme(words[-1]):
+            words = words[:-1]
+        words = ["<BOS>"] + words + ["<EOS>"]
+        res["words"] = words
+        res["word_tokens"] = word_encoder.encode(" ".join(words))
 
     @staticmethod
     def get_pitch(res, prefix=""):

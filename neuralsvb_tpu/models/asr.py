@@ -67,7 +67,8 @@ class VCASR(nn.Module):
     num_heads: int = 2
 
     @nn.compact
-    def __call__(self, mel, prev_tokens=None, train: bool = False):
+    def __call__(self, mel, prev_tokens=None, conversion_alignment=None,
+                 train: bool = False):
         ret = {}
         _, h = Prenet(self.hidden_size, strides=list(self.mel_strides),
                       name="mel_prenet")(mel, train=train)
@@ -80,6 +81,21 @@ class VCASR(nn.Module):
             from .common import ConvStacks
             h_content = ConvStacks(n_chans=self.hidden_size, odim=self.hidden_size,
                                    name="content_encoder")(h, train=train)
+        if conversion_alignment is not None:
+            # realign to the target timeline at frame rate, pool back to
+            # stride rate (reference AlignedVCASR, svb_ppg.py:178-196):
+            # repeat x stride -> gather -> pad -> mean-pool(stride)
+            stride = 1
+            for s in self.mel_strides:
+                stride *= int(s)
+            rep = jnp.repeat(h_content, stride, axis=1)          # [B, S, H]
+            idx = jnp.clip(conversion_alignment, 0, rep.shape[1] - 1)
+            g = jnp.take_along_axis(rep, idx[:, :, None], 1)     # [B, T, H]
+            pad = (-g.shape[1]) % stride
+            g = jnp.pad(g, ((0, 0), (0, pad + stride), (0, 0)))
+            Tg = g.shape[1] // stride
+            h_content = g[:, : Tg * stride].reshape(
+                g.shape[0], Tg, stride, -1).mean(2)              # [B, T/st, H]
         ret["h_content"] = h_content
         if prev_tokens is not None:
             tok_emb = Embedding(self.dict_size, self.hidden_size, 0,

@@ -45,6 +45,8 @@ class FastSpeech2(nn.Module):
     predictor_dropout: float = 0.5
     predictor_grad: float = 0.0
     dropout: float = 0.1
+    cwt_hidden_size: int = 128
+    cwt_std_scale: float = 0.8
     # hparams needed by denorm_f0
     f0_mean: float = 220.0
     f0_std: float = 60.0
@@ -118,6 +120,8 @@ class FastSpeech2(nn.Module):
         decoder_inp = jax.lax.stop_gradient(decoder_inp) + self.predictor_grad * (
             decoder_inp - jax.lax.stop_gradient(decoder_inp))
         pitch_padding = mel2ph == 0
+        if self.pitch_type == "cwt":
+            return self._add_pitch_cwt(decoder_inp, f0, uv, mel2ph, ret, ph, train)
         pitch_pred = PitchPredictor(
             self.predictor_layers, ph, 2 if self.pitch_type == "frame" else 1,
             self.predictor_kernel, self.predictor_dropout,
@@ -128,6 +132,43 @@ class FastSpeech2(nn.Module):
         if self.use_uv and uv is None:
             uv = pitch_pred[:, :, 1] > 0
         f0_denorm = denorm_f0(f0, uv, self._hp(), pitch_padding=pitch_padding)
+        ret["f0_denorm"] = f0_denorm
+        pitch = f0_to_coarse(f0_denorm)
+        return Embedding(300, self.hidden_size, 0, name="pitch_embed")(pitch)
+
+    def _add_pitch_cwt(self, decoder_inp, f0, uv, mel2ph, ret, ph, train):
+        """CWT-domain f0 prediction (reference: fs2.py:205-231 + cwt2f0_norm):
+        predict the 10-scale wavelet spectrum (+uv) and per-utterance f0
+        mean/std, invert to a normalized f0 contour."""
+        from ..ops.cwt import CWT_DT, CWT_DJ, CWT_J
+        import numpy as _np
+        h = dense(self.cwt_hidden_size, name="cwt_in")(decoder_inp)
+        cwt_out_dims = 10 + (1 if self.use_uv else 0)
+        cwt_out = PitchPredictor(self.predictor_layers, ph, cwt_out_dims,
+                                 self.predictor_kernel, self.predictor_dropout,
+                                 name="cwt_predictor")(h, train=train)
+        ret["cwt"] = cwt_out
+        stats_in = decoder_inp[:, 0, :]
+        sh = dense(self.cwt_hidden_size, name="cwt_stats_0")(stats_in)
+        sh = jax.nn.relu(sh)
+        sh = dense(self.cwt_hidden_size, name="cwt_stats_1")(sh)
+        sh = jax.nn.relu(sh)
+        stats = dense(2, name="cwt_stats_2")(sh)
+        ret["f0_mean"], ret["f0_std"] = stats[:, 0], stats[:, 1]
+        if f0 is None:
+            from ..ops.cwt import inverse_cwt
+            scales = (2 * CWT_DT) * 2.0 ** (CWT_DJ * _np.arange(CWT_J + 1))
+            f0_rec = inverse_cwt(cwt_out[:, :, :10], scales)
+            std = ret["f0_std"] * self.cwt_std_scale
+            lf0 = f0_rec * std[:, None] + ret["f0_mean"][:, None]
+            from ..ops.pitch_utils import norm_f0 as _norm_f0
+            f0 = _norm_f0(jnp.exp(lf0), None, self._hp())
+            if self.use_uv:
+                uv = cwt_out[:, :, -1] > 0
+        f0 = f0[:, : mel2ph.shape[1]]
+        pitch_padding = mel2ph == 0
+        f0_denorm = denorm_f0(f0, uv if self.use_uv else None, self._hp(),
+                              pitch_padding=pitch_padding)
         ret["f0_denorm"] = f0_denorm
         pitch = f0_to_coarse(f0_denorm)
         return Embedding(300, self.hidden_size, 0, name="pitch_embed")(pitch)

@@ -97,16 +97,12 @@ class VCPPG(nn.Module):
                 mels_content, conversion_alignment[:, :, None], 1)
             conversion_alignment = None
         if self.aligned_asr and conversion_alignment is not None:
-            raw = jax.lax.stop_gradient(
-                self.vc_asr(mels_content, train=False)["h_content"])  # [B, S/st, H]
-            rep = jnp.repeat(raw, stride, axis=1)                      # [B, S, H]
-            gathered = jnp.take_along_axis(rep, conversion_alignment[:, :, None], 1)
-            pad = (-gathered.shape[1]) % stride
-            gathered = jnp.pad(gathered, ((0, 0), (0, pad + stride), (0, 0)))
-            Tg = gathered.shape[1] // stride
-            pooled = gathered[:, : Tg * stride].reshape(
-                gathered.shape[0], Tg, stride, -1).mean(2)
-            h = pooled
+            # realignment happens inside the ASR (models/asr.py, the
+            # AlignedVCASR equivalent of reference svb_ppg.py:178-196)
+            h = jax.lax.stop_gradient(
+                self.vc_asr(mels_content,
+                            conversion_alignment=conversion_alignment,
+                            train=False)["h_content"])  # [B, T/st, H]
         else:
             h = jax.lax.stop_gradient(
                 self.vc_asr(mels_content, train=False)["h_content"])
@@ -173,17 +169,20 @@ class VCPPG(nn.Module):
     def train_vc_asr(self, mels, tokens, conversion_alignment=None,
                      with_hidden: bool = False, train: bool = False):
         """Teacher-forced ASR logits (+ optionally h_content with gradient,
-        for the ParaPPGConstraint loss, reference: svb_ppg.py:252-258).
+        for the ParaPPGConstraint loss, reference: svb_ppg.py:247-258).
 
-        Note: for the aligned_asr variants the reference gathers/pools the
-        encoder output *inside* the ASR before the CE decoder
-        (svb_ppg.py:178-196); here only the pre_exp mel-gather is applied in
-        the CE path (the constraint loss in tasks/svb_para.py aligns the
-        returned hidden instead)."""
+        pre_exp gathers the raw mel before the ASR (svb_ppg.py:117-175);
+        aligned_asr variants realign the encoder output inside the ASR
+        before the CE decoder (svb_ppg.py:178-196)."""
         if self.pre_exp and conversion_alignment is not None:
             mels = jnp.take_along_axis(mels, conversion_alignment[:, :, None], 1)
+            conversion_alignment = None
         prev_tokens = jnp.pad(tokens[:, :-1], ((0, 0), (1, 0)))
-        out = self.vc_asr(mels, prev_tokens, train=train)
+        out = self.vc_asr(
+            mels, prev_tokens,
+            conversion_alignment=(conversion_alignment
+                                  if self.aligned_asr else None),
+            train=train)
         if with_hidden:
             return out["tokens"], out["h_content"]
         return out["tokens"]

@@ -89,3 +89,20 @@ def cwt2f0(cwt_spec, mean, std, cwt_scales):
     f0 = inverse_cwt(cwt_spec, cwt_scales)
     f0 = f0 * std[:, None] + mean[:, None]
     return xp.exp(f0)
+
+
+def cwt2f0_norm(cwt_spec, mean, std, mel2ph, hp):
+    """Decoded ground-truth f0 from a (normalized) CWT spectrum, renormalized
+    for the pitch embed (reference: modules/fastspeech/fs2.py:239-244):
+    inverse CWT -> denorm by utterance stats -> exp -> pad to mel length with
+    the last frame -> norm_f0."""
+    import jax.numpy as jnp
+    from .pitch_utils import norm_f0
+    xp = jnp if not isinstance(cwt_spec, np.ndarray) else np
+    scales = (2 * CWT_DT) * 2.0 ** (CWT_DJ * np.arange(CWT_J + 1))
+    f0 = cwt2f0(cwt_spec, mean, std, scales)  # [B, T']
+    T = mel2ph.shape[1]
+    if f0.shape[1] < T:
+        pad = xp.repeat(f0[:, -1:], T - f0.shape[1], axis=1)
+        f0 = xp.concatenate([f0, pad], 1)
+    return norm_f0(f0[:, :T], None, hp)

@@ -67,6 +67,12 @@ class FastSpeech2Task(AdversarialTaskBase):
              "mels": batch["mels"],
              "mel2ph": batch["mel2ph"].astype(np.int32),
              "f0": batch["f0"], "uv": batch["uv"], "energy": batch["energy"]}
+        if hp["pitch_type"] == "cwt" and "cwt_spec" in batch:
+            b["cwt_spec"] = batch["cwt_spec"]
+            b["f0_mean"] = batch["f0_mean"]
+            b["f0_std"] = batch["f0_std"]
+        if "ph2word" in batch:
+            b["ph2word"] = batch["ph2word"].astype(np.int32)
         if hp["use_spk_id"]:
             b["spk"] = batch["spk_ids"].astype(np.int32)
         elif hp["use_spk_embed"]:
@@ -77,12 +83,19 @@ class FastSpeech2Task(AdversarialTaskBase):
 
     def forward_losses(self, params, batch_stats, batch, rng, train):
         hp = hparams
+        f0 = batch["f0"] if hp["use_gt_f0"] else None
+        uv = batch["uv"] if hp["use_gt_f0"] else None
+        if hp["pitch_type"] == "cwt" and "cwt_spec" in batch:
+            # GT f0 is decoded from the GT wavelet spectrum
+            # (reference: fs2.py:119-123 run_model)
+            from ..ops.cwt import cwt2f0_norm
+            f0 = cwt2f0_norm(batch["cwt_spec"], batch["f0_mean"],
+                             batch["f0_std"], batch["mel2ph"], hp)
+            uv = batch["uv"]
         out, mut = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["txt_tokens"], batch["mel2ph"], batch.get("spk"),
-            batch["f0"] if hp["use_gt_f0"] else None,
-            batch["uv"] if hp["use_gt_f0"] else None,
-            batch.get("energy"), train=train,
+            f0, uv, batch.get("energy"), train=train,
             rngs={"dropout": rng}, mutable=["batch_stats"])
         losses: Dict[str, Any] = {}
         add_mel_loss(self.loss_and_lambda, out["mel_out"], batch["mels"], losses)
@@ -134,6 +147,8 @@ class FastSpeech2Task(AdversarialTaskBase):
     def _pitch_loss(self, out, batch, losses):
         hp = hparams
         nonpadding = (batch["mel2ph"] != 0).astype(jnp.float32)
+        if hp["pitch_type"] == "cwt":
+            return self._cwt_pitch_loss(out, batch, losses, nonpadding)
         pred = out["pitch_pred"]
         f0_l = (jnp.abs(pred[:, :, 0] - batch["f0"]) * nonpadding).sum() \
             / jnp.maximum(nonpadding.sum(), 1.0)
@@ -142,6 +157,37 @@ class FastSpeech2Task(AdversarialTaskBase):
             uv_l = (binary_cross_entropy_logits(pred[:, :, 1], batch["uv"])
                     * nonpadding).sum() / jnp.maximum(nonpadding.sum(), 1.0)
             losses["uv"] = uv_l * hp["lambda_uv"]
+
+    def _cwt_pitch_loss(self, out, batch, losses, nonpadding):
+        """Wavelet-domain pitch losses: spectrum + uv + utterance stats
+        (reference: tasks/tts/fs2.py:233-250)."""
+        hp = hparams
+        if "cwt_spec" not in batch:
+            return
+        cwt_g = batch["cwt_spec"]
+        T = min(cwt_g.shape[1], out["cwt"].shape[1])
+        cwt_pred = out["cwt"][:, :T, :10]
+        kind = hp.get("cwt_loss", "l1")
+        diff = cwt_pred - cwt_g[:, :T]
+        c = jnp.abs(diff).mean() if kind == "l1" else (diff ** 2).mean()
+        losses["C"] = c * hp["lambda_f0"]
+        if hp["use_uv"]:
+            uv_l = (binary_cross_entropy_logits(
+                out["cwt"][:, :T, -1], batch["uv"][:, :T])
+                * nonpadding[:, :T]).sum() \
+                / jnp.maximum(nonpadding[:, :T].sum(), 1.0)
+            losses["uv"] = uv_l * hp["lambda_uv"]
+        losses["f0_mean"] = jnp.abs(
+            out["f0_mean"] - batch["f0_mean"]).mean() * hp["lambda_f0"]
+        losses["f0_std"] = jnp.abs(
+            out["f0_std"] - batch["f0_std"]).mean() * hp["lambda_f0"]
+        if hp.get("cwt_add_f0_loss"):
+            from ..ops.cwt import cwt2f0_norm
+            f0_cwt = cwt2f0_norm(cwt_pred, out["f0_mean"], out["f0_std"],
+                                 batch["mel2ph"], hp)
+            fl = (jnp.abs(f0_cwt - batch["f0"]) * nonpadding).sum() \
+                / jnp.maximum(nonpadding.sum(), 1.0)
+            losses["f0"] = fl * hp["lambda_f0"]
 
     # ------------------------------------------------------------------
     def train_dataloader(self, n_devices=None):

@@ -257,8 +257,10 @@ class ParaPPGConstraintTask(SVBParaTask):
             return
         tokens = batch["txt_tokens"]
         variables = {"params": params, "batch_stats": batch_stats}
+        # amateur content realigned to the professional timeline inside the
+        # ASR (reference: svb_para.py:387-406 + AlignedVCASR)
         logits_a, h_a = self.model.apply(
-            variables, batch["mels"], tokens, None,
+            variables, batch["mels"], tokens, batch["a2p_f0_alignment"],
             with_hidden=True, method=self.model.train_vc_asr,
             rngs={"dropout": rng})
         logits_p, h_p = self.model.apply(
@@ -271,11 +273,7 @@ class ParaPPGConstraintTask(SVBParaTask):
         mel_lengths = ((jnp.abs(batch["prof_mels"]).sum(-1) > 0).sum(-1)
                        // scale).astype(jnp.int32)
         mask = (jnp.arange(T)[None] < mel_lengths[:, None]).astype(h_p.dtype)
-        # align amateur content to the professional timeline at stride rate
-        # (equivalent of the reference's repeat/gather/pool, svb_ppg.py:178-196)
-        align = batch["a2p_f0_alignment"]
-        shrink = jnp.clip(align[:, ::scale] // scale, 0, h_a.shape[1] - 1)[:, :T]
-        h_a = jnp.take_along_axis(h_a, shrink[:, :, None], 1)
+        h_a = h_a[:, :T]
         if h_a.shape[1] < T:
             h_a = jnp.pad(h_a, ((0, 0), (0, T - h_a.shape[1]), (0, 0)))
         diff = ((h_a - jax.lax.stop_gradient(h_p)) ** 2) * mask[:, :, None]

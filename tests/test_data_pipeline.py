@@ -141,3 +141,107 @@ def test_multispkemb_dataset_batch(binarized_dir):
     lens = batch["mel_lengths"]
     for b, L in enumerate(lens):
         assert (batch["pitch"][b, L:] == 0).all()
+
+
+def _write_textgrid(path, phones, total_sec):
+    """Emit a minimal long-format TextGrid with one 'phones' tier: a leading
+    and trailing silence plus one interval per phone."""
+    n = len(phones)
+    sil = 0.08
+    seg = (total_sec - 2 * sil) / n
+    items = [(0.0, sil, "")]
+    for i, p in enumerate(phones):
+        items.append((sil + i * seg, sil + (i + 1) * seg, p))
+    items.append((total_sec - sil, total_sec, ""))
+    lines = ['File type = "ooTextFile"', 'name = "phones"']
+    for k, (x0, x1, txt) in enumerate(items):
+        lines += [f"intervals [{k + 1}]:", f"xmin = {x0:.6f}",
+                  f"xmax = {x1:.6f}", f'text = "{txt}"']
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def test_base_binarizer_text_branch(tmp_path):
+    """with_txt/with_align/with_word: text_labels + MFA TextGrids ->
+    phone/mel2ph/dur/ph2word/word_tokens + phone_set/word_set."""
+    from neuralsvb_tpu.hparams import hparams
+    from neuralsvb_tpu.ops.audio import save_wav
+    from neuralsvb_tpu.utils.text_encoder import is_sil_phoneme
+    from neuralsvb_tpu.data.txt_processors import get_txt_processor_cls
+
+    root = tmp_path
+    data_dir = root / "processed" / "data" / "p1"
+    txt_dir = root / "processed" / "text_labels" / "p1"
+    tg_dir = root / "processed" / "mfa_outputs"
+    for d in (data_dir, txt_dir, tg_dir):
+        d.mkdir(parents=True)
+
+    texts = {"spkA#read_0": "hi yo", "spkA#read_1": "go up now",
+             "spkB#read_0": "so low"}
+    dur_s = 1.4
+    for name, txt in texts.items():
+        save_wav(_sing(200.0, dur_s, seed=hash(name) % 97),
+                 str(data_dir / f"{name}.wav"), SR)
+        (txt_dir / f"{name}.txt").write_text(txt)
+        phs, _ = get_txt_processor_cls("en").process(txt, {})
+        nonsil = [p for p in phs if not is_sil_phoneme(p)]
+        _write_textgrid(str(tg_dir / f"{name}.TextGrid"), nonsil, dur_s)
+
+    hp = {
+        "processed_data_dir": str(root / "processed"),
+        "binary_data_dir": str(root / "binary"),
+        "binarization_args": {"with_f0": True, "with_txt": True,
+                              "with_align": True, "with_word": True,
+                              "with_wav": False, "with_spk_embed": False,
+                              "shuffle": False, "reset_phone_dict": True,
+                              "reset_word_dict": True, "trim_eos_bos": False},
+        "pre_align_args": {"txt_processor": "en"},
+        "audio_sample_rate": SR, "fft_size": 512, "hop_size": 128,
+        "win_size": 512, "audio_num_mel_bins": 80, "fmin": 50, "fmax": 11025,
+        "loud_norm": False, "test_num": 1, "num_spk": 10, "ds_workers": 1,
+        "word_size": 100, "vocoder": "pwg", "vocoder_ckpt": "", "ge2e_ckpt": "",
+    }
+    hparams.clear()
+    hparams.update(hp)
+    from neuralsvb_tpu.data.binarizer import BaseBinarizer
+    BaseBinarizer().process()
+
+    bin_dir = str(root / "binary")
+    assert os.path.exists(f"{bin_dir}/phone_set.json")
+    assert os.path.exists(f"{bin_dir}/word_set.json")
+    assert os.path.exists(f"{bin_dir}/train_ph_lengths.npy")
+    ds = IndexedDataset(f"{bin_dir}/train")
+    assert len(ds) == 2, "3 items - test_num(1)"
+    item = ds[0]
+    for key in ("phone", "mel2ph", "dur", "ph2word", "word_tokens",
+                "mel", "f0"):
+        assert key in item, key
+    n_ph = len(item["phone"])
+    assert item["ph_len"] == n_ph
+    m2p = np.asarray(item["mel2ph"])
+    assert len(m2p) == item["len"]
+    assert m2p.max() <= n_ph and m2p.min() >= 0
+    assert (np.diff(m2p) >= 0).all(), "alignment must be monotone"
+    assert int(np.asarray(item["dur"]).sum()) == item["len"]
+    ph2word = np.asarray(item["ph2word"])
+    assert len(ph2word) == n_ph and ph2word.min() >= 1
+    assert (np.diff(ph2word) >= 0).all()
+    # word_tokens: <BOS> + words + <EOS>; matches #words in text + 2
+    n_words = len(item["words"])
+    assert len(item["word_tokens"]) == n_words
+    assert item["ph_words"][0] == "<BOS>" and item["ph_words"][-1] == "<EOS>"
+    assert ph2word.max() == len(item["ph_words"])
+
+    # second pass: trim_eos_bos drops the aligned <BOS>/<EOS> frames
+    hp2 = dict(hp)
+    hp2["binary_data_dir"] = str(root / "binary_trim")
+    hp2["binarization_args"] = dict(hp["binarization_args"], trim_eos_bos=True)
+    hparams.clear()
+    hparams.update(hp2)
+    BaseBinarizer().process()
+    ds2 = IndexedDataset(f"{hp2['binary_data_dir']}/train")
+    it2 = ds2[0]
+    assert it2["len"] < item["len"]
+    assert it2["len"] == it2["mel"].shape[0] == len(it2["mel2ph"])
+    assert int(np.asarray(it2["dur"]).sum()) == it2["len"]
+    assert np.asarray(it2["mel2ph"]).min() >= 2, "BOS frames trimmed"

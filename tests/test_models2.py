@@ -131,3 +131,66 @@ def test_svbvae_tech_variants():
         assert np.isfinite(float(out["a2a"]["kl"]))
         if variant == "seg_tech_mle":
             assert "attn" in out["p2p"]
+
+
+def test_fs2_cwt_pitch_path():
+    """pitch_type='cwt': wavelet-spectrum predictor + utterance f0 stats,
+    inverse CWT at inference (reference: fs2.py:205-231 + cwt2f0)."""
+    from neuralsvb_tpu.models.fs2 import FastSpeech2
+    m = FastSpeech2(dict_size=20, hidden_size=H, enc_layers=1, dec_layers=1,
+                    predictor_layers=1, pitch_type="cwt", use_uv=True,
+                    cwt_hidden_size=16)
+    tokens = jnp.ones((B, 6), jnp.int32)
+    m2p = jnp.repeat(jnp.arange(1, 7)[None], B, 0).repeat(5, axis=1)
+    vars_ = m.init(RNGS, tokens, m2p, None, None, None)
+    # train mode: cwt spectrum head present
+    out = m.apply(vars_, tokens, m2p, None,
+                  jnp.zeros((B, 30)), jnp.zeros((B, 30)),
+                  rngs={"dropout": jax.random.PRNGKey(2)})
+    assert out["cwt"].shape == (B, 30, 11)
+    assert out["f0_mean"].shape == (B,) and out["f0_std"].shape == (B,)
+    # infer mode: f0 reconstructed via inverse CWT, finite everywhere
+    out_i = m.apply(vars_, tokens, m2p, None, None, None, infer=True,
+                    rngs={"dropout": jax.random.PRNGKey(3)})
+    assert out_i["mel_out"].shape == (B, 30, 80)
+    assert np.isfinite(np.asarray(out_i["f0_denorm"])).all()
+
+
+def test_para_ppg_constraint_aligned_ce():
+    """ParaPPGConstraint.train_vc_asr realigns the content encoding to the
+    professional timeline inside the ASR before the CE decoder and returns
+    h_content with gradient (reference: svb_ppg.py:178-196 + 252-258)."""
+    from neuralsvb_tpu.models.svb_ppg import ParaPPGConstraint
+    model = ParaPPGConstraint(dict_size=20, hidden_size=H, ref_enc_out=H,
+                              use_energy=True, asr_enc_layers=1,
+                              asr_dec_layers=1, dec_layers=1)
+    T_a, T_p = 30, 36
+    mels_a = jax.random.normal(jax.random.PRNGKey(0), (B, T_a, 80)) - 2
+    mels_p = jax.random.normal(jax.random.PRNGKey(1), (B, T_p, 80)) - 2
+    tokens = jnp.ones((B, 6), jnp.int32)
+    # a2p alignment: professional frame t -> amateur frame index
+    align = jnp.clip((jnp.arange(T_p) * T_a) // T_p, 0, T_a - 1)[None].repeat(B, 0)
+    vars_ = model.init(RNGS, mels_a, tokens, align, True,
+                       method=model.train_vc_asr)
+    logits_a, h_a = model.apply(vars_, mels_a, tokens, align, True,
+                                method=model.train_vc_asr,
+                                rngs={"dropout": jax.random.PRNGKey(2)})
+    logits_p, h_p = model.apply(vars_, mels_p, tokens, None, True,
+                                method=model.train_vc_asr,
+                                rngs={"dropout": jax.random.PRNGKey(2)})
+    assert logits_a.shape == (B, 6, 20) and logits_p.shape == (B, 6, 20)
+    # amateur content is on the professional stride-rate timeline now
+    stride = 2  # prod(mel_strides) default (2, 1, 1)
+    assert h_p.shape[1] == T_p // stride
+    assert h_a.shape[1] >= T_p // stride
+    assert np.isfinite(np.asarray(h_a)).all()
+    # identity alignment on the same mel reproduces the unaligned pooling
+    id_align = jnp.arange(T_a)[None].repeat(B, 0)
+    _, h_id = model.apply(vars_, mels_a, tokens, id_align, True,
+                          method=model.train_vc_asr,
+                          rngs={"dropout": jax.random.PRNGKey(2)})
+    _, h_raw = model.apply(vars_, mels_a, tokens, None, True,
+                           method=model.train_vc_asr,
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(h_id[:, : h_raw.shape[1]]),
+                               np.asarray(h_raw), atol=1e-5)

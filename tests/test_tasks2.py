@@ -264,3 +264,24 @@ def test_spk_consistent_and_amtspk(env):
     outs2 = _steps(task2, batch)
     assert 0 in outs2 and np.isfinite(sum(
         float(v) for v in outs2[0].values()))
+
+
+def test_para_ppg_constraint_task(env):
+    """ParaPPGConstraintTask: aligned amateur CE + ppg_constraint MSE against
+    the detached professional content (reference: svb_para.py:371-407)."""
+    root, cfg = env
+    from neuralsvb_tpu.hparams import hparams
+    hparams.clear()
+    hparams.update(cfg)
+    hparams["concurrent_ways"] = "a2a,p2p,a2p"
+    from neuralsvb_tpu.tasks.svb_para import ParaPPGConstraintTask
+    task = ParaPPGConstraintTask()
+    task.build_model()
+    batch = dict(next(iter(task.train_dataloader())))
+    B = batch["mels"].shape[0]
+    batch["txt_tokens"] = np.tile(np.array([4, 5, 6, 7, 0, 0]), (B, 1))
+    outs = _steps(task, batch)
+    logs = outs[0]
+    for key in ("asr_a", "asr_p", "ppg_constraint"):
+        assert key in logs and np.isfinite(logs[key]), (key, logs)
+    assert logs["ppg_constraint"] >= 0
