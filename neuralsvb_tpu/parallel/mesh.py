@@ -2,10 +2,15 @@
 
 The reference does single-node data parallelism over NCCL (reference:
 utils/trainer.py:441-466) with per-rank batch slices
-(tasks/tts/tts.py:93-96). TPU-natively we build a 1-D ``data`` mesh over all
-chips, shard the global batch on it and replicate params; XLA GSPMD inserts
-the gradient all-reduce over ICI. A second ``model`` axis is plumbed through
-for future tensor sharding (models here are 20-40M params so DP suffices).
+(tasks/tts/tts.py:93-96). TPU-natively we build a ``data`` (x optional
+``model``) mesh over all chips and let XLA GSPMD insert the collectives:
+
+- batch sharded on ``data`` -> gradient all-reduce over ICI (replaces DDP);
+- with ``mesh_shape: 'data:N,model:M'``, large parameter matrices are
+  tensor-sharded on their output feature dim across ``model``
+  (Megatron-style column split; GSPMD adds the activation all-gathers /
+  reduce-scatters). Models here are 20-40M params so DP alone suffices on
+  real pods, but the TP path keeps memory-per-chip flat as dims grow.
 """
 
 from __future__ import annotations
@@ -49,8 +54,36 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return {k: put(v) for k, v in batch.items()}
 
 
-def replicate_state(state, mesh: Mesh):
-    return jax.device_put(state, replicated(mesh))
+def _tp_size(mesh: Mesh) -> int:
+    return dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+
+
+def param_sharding(leaf, mesh: Mesh, min_size: int = 4096) -> NamedSharding:
+    """Shape-based tensor-parallel rule: matrices/kernels with a large,
+    model-divisible output (last) dim are column-sharded on 'model';
+    everything else (biases, norms, scalars, small tables) replicates."""
+    tp = _tp_size(mesh)
+    shape = getattr(leaf, "shape", ())
+    size = int(np.prod(shape)) if shape else 0
+    if (tp > 1 and len(shape) >= 2 and size >= min_size
+            and shape[-1] % tp == 0):
+        spec = [None] * (len(shape) - 1) + ["model"]
+        return NamedSharding(mesh, P(*spec))
+    return replicated(mesh)
+
+
+def replicate_state(state, mesh: Mesh, min_size: int | None = None):
+    """Place a state tree on the mesh: replicated under pure DP; with a
+    'model' axis, large param/optimizer leaves are tensor-sharded by
+    ``param_sharding`` (optimizer moments mirror the param tree shapes, so
+    the same shape rule aligns them)."""
+    if _tp_size(mesh) <= 1:
+        return jax.device_put(state, replicated(mesh))
+    if min_size is None:
+        from ..hparams import hparams
+        min_size = int(hparams.get("tp_min_param_size") or 4096)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, param_sharding(x, mesh, min_size)), state)
 
 
 def trim_batch_to_multiple(batch_idxs: list, n: int) -> list:
