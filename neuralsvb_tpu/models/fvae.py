@@ -45,6 +45,7 @@ class FVAEEncoder(nn.Module):
     n_layers: int
     gin_channels: int = 0
     strides: Sequence[int] = (4,)
+    remat: bool = False
 
     def project(self, x, x_mask, g, train):
         for i, s in enumerate(self.strides):
@@ -53,8 +54,9 @@ class FVAEEncoder(nn.Module):
         stride_total = int(np.prod(self.strides))
         x_mask = x_mask[:, ::stride_total][:, : x.shape[1]]
         x = x * x_mask
-        x = WN(self.hidden_channels, self.kernel_size, 1, self.n_layers,
-               self.gin_channels, name="wn")(x, x_mask, g, train=train) * x_mask
+        wn_cls = nn.remat(WN, static_argnums=(4,)) if self.remat else WN
+        x = wn_cls(self.hidden_channels, self.kernel_size, 1, self.n_layers,
+                   self.gin_channels, name="wn")(x, x_mask, g, train) * x_mask
         x = nn.Conv(self.latent_channels * 2, (1,), name="out_proj")(x)
         return x, x_mask
 
@@ -101,6 +103,7 @@ class FVAEDecoder(nn.Module):
     gin_channels: int = 0
     strides: Sequence[int] = (4,)
     repeat_global: bool = False  # GlobalFVAEDecoder: tile z to T//4 first
+    remat: bool = False
 
     @nn.compact
     def __call__(self, z, x_mask, g, train: bool = False):
@@ -114,8 +117,9 @@ class FVAEDecoder(nn.Module):
                                  padding="VALID", transpose_kernel=True,
                                  name=f"pre_{i}")(x)
         x = x * x_mask
-        x = WN(self.hidden_channels, self.kernel_size, 1, self.n_layers,
-               self.gin_channels, name="wn")(x, x_mask, g, train=train) * x_mask
+        wn_cls = nn.remat(WN, static_argnums=(4,)) if self.remat else WN
+        x = wn_cls(self.hidden_channels, self.kernel_size, 1, self.n_layers,
+                   self.gin_channels, name="wn")(x, x_mask, g, train) * x_mask
         return nn.Conv(self.out_channels, (1,), name="out_proj")(x)
 
 
@@ -132,6 +136,7 @@ class FVAE(nn.Module):
     strides: Sequence[int] = (4,)
     global_latent: bool = False
     use_prior_glow: bool = False
+    remat: bool = False  # jax.checkpoint the WN stacks (memory for FLOPs)
     glow_hidden: Optional[int] = None
     glow_kernel_size: Optional[int] = None
     glow_n_blocks: Optional[int] = None
@@ -146,11 +151,13 @@ class FVAE(nn.Module):
         enc_cls = GlobalFVAEEncoder if self.global_latent else FVAEEncoder
         self.encoder = enc_cls(self.hidden_channels, self.latent_size,
                                self.kernel_size, self.enc_n_layers,
-                               self.gin_channels, self.strides)
+                               self.gin_channels, self.strides,
+                               remat=self.remat)
         self.decoder = FVAEDecoder(self.hidden_channels, self.in_out_channels,
                                    self.kernel_size, self.dec_n_layers,
                                    self.gin_channels, self.strides,
-                                   repeat_global=self.global_latent)
+                                   repeat_global=self.global_latent,
+                                   remat=self.remat)
         if self.use_prior_glow:
             from .glow import ResidualCouplingBlock
             self.prior_flow = ResidualCouplingBlock(

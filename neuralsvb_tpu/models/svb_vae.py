@@ -62,6 +62,7 @@ class SVBVAE(nn.Module):
     asr_last_norm: bool = False
     variant: str = "mle"  # local | global | mle | tech_mle | seg_tech_mle
     use_prior_glow: bool = False
+    use_remat: bool = False  # rematerialize WN stacks under grad
 
     def setup(self):
         H = self.hidden_size
@@ -79,7 +80,7 @@ class SVBVAE(nn.Module):
             enc_n_layers=self.fvae_enc_layers, dec_n_layers=self.fvae_dec_layers,
             gin_channels=H, strides=(self.frames_multiple,),
             global_latent=self.variant != "local",
-            use_prior_glow=self.use_prior_glow)
+            use_prior_glow=self.use_prior_glow, remat=self.use_remat)
         if self.variant == "local":
             self.m_mapping_function = LatentMap(self.latent_size)
             self.logs_mapping_function = LatentMap(self.latent_size)

@@ -146,6 +146,7 @@ class SVBVAETaskBase(BaseTask):
             asr_dec_layers=hp["asr_dec_layers"],
             asr_last_norm=hp["asr_last_norm"],
             variant=self.variant,
+            use_remat=bool(hp.get("use_remat")),
         )
         self.mel_disc = Discriminator(
             time_lengths=tuple([32, 64, 128][: hp["disc_win_num"]]),
@@ -610,7 +611,7 @@ class SVBVAETaskBase(BaseTask):
                 or self.global_step % hparams["valid_infer_interval"] != 0
                 or batch_idx >= hparams.get("num_valid_plots", 0)):
             return
-        from ..utils.plot import spec_to_figure
+        from ..utils.plot import spec_to_figure, tb_add_audio
         if self.vocoder is None:
             from ..vocoders.base import get_vocoder_cls
             self.vocoder = get_vocoder_cls(hparams)(dict(hparams))
@@ -625,8 +626,8 @@ class SVBVAETaskBase(BaseTask):
             L = lens[way]
             mel = np.asarray(out[way]["mel_out"][0][:L])
             wav = self.vocoder.spec2wav(mel, f0=np.asarray(f0s[way][0][:L]))
-            self.logger.add_audio(f"{way}_wavout_{batch_idx}", wav,
-                                  self.global_step, sr)
+            tb_add_audio(self.logger, f"{way}_wavout_{batch_idx}", wav,
+                         self.global_step, sr)
             gt = np.asarray((batch["prof_mels"] if way != "a2a"
                              else batch["mels"])[0][:L])
             fig = spec_to_figure(np.concatenate([gt, mel], -1),
@@ -635,7 +636,8 @@ class SVBVAETaskBase(BaseTask):
             self.logger.add_figure(f"{way}_gt_{batch_idx}", fig, self.global_step)
         gt_a = self.vocoder.spec2wav(np.asarray(batch["mels"][0][:lens["a2a"]]),
                                      f0=np.asarray(f0s["a2a"][0][:lens["a2a"]]))
-        self.logger.add_audio(f"gt_a_wav_{batch_idx}", gt_a, self.global_step, sr)
+        tb_add_audio(self.logger, f"gt_a_wav_{batch_idx}", gt_a,
+                     self.global_step, sr)
 
     # ------------------------------------------------------------------
     def test_start(self):

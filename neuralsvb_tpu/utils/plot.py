@@ -56,3 +56,18 @@ def dur_to_figure(dur_gt, dur_pred, txt):
         plt.vlines(dur_pred[i], 40, 80, colors="r")
     plt.xlim(0, max(dur_gt[-1], dur_pred[-1]))
     return fig
+
+
+_TB_AUDIO_WARNED = [False]
+
+
+def tb_add_audio(logger, tag, wav, step, sr):
+    """tensorboardX's add_audio imports soundfile, which this environment
+    doesn't carry; degrade to a one-time warning instead of crashing
+    validation."""
+    try:
+        logger.add_audio(tag, wav, step, sr)
+    except (ImportError, ModuleNotFoundError):
+        if not _TB_AUDIO_WARNED[0]:
+            _TB_AUDIO_WARNED[0] = True
+            print("| WARNING: soundfile unavailable; skipping TB audio logging.")

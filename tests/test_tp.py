@@ -46,3 +46,30 @@ def test_tp_training_steps():
     for step, opt in [(5, 0), (5, 1), (20, 2)]:
         ret = task.training_step(batch, step, opt)
         assert ret is not None and np.isfinite(float(ret[0])), (step, opt)
+
+
+def test_remat_training_step():
+    """use_remat=True: WN stacks rematerialized under grad; same param tree,
+    finite losses."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _flagship_hparams, _batch
+    from neuralsvb_tpu.hparams import hparams
+    hp = _flagship_hparams(tiny=True)
+    hp.update(mesh_shape="data:1", phase_2_steps=10, use_remat=True)
+    hparams.clear()
+    hparams.update(hp)
+    from neuralsvb_tpu.tasks.svb_vae_task import SVBVAEMleTask
+    task = SVBVAEMleTask()
+    task.build_model()
+    B, T = 2, 64
+    batch = _batch(B, T, T + 32)
+    batch["nsamples"] = B
+    ret = task.training_step(batch, 5, 0)
+    assert ret is not None and np.isfinite(float(ret[0]))
+    hparams["use_remat"] = False
+    task2 = SVBVAEMleTask()
+    task2.build_model()
+    t1 = jax.tree_util.tree_structure(jax.device_get(task.state["params"]))
+    t2 = jax.tree_util.tree_structure(jax.device_get(task2.state["params"]))
+    assert t1 == t2, "remat must not change the param tree"
