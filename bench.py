@@ -49,9 +49,12 @@ def bench_vocoder_rtf(n_frames: int = 2048, iters: int = 10, warmup: int = 3):
     return dt / audio_sec, audio_sec, dt
 
 
-def bench_e2e_svb(n_frames: int = 1536, iters: int = 5, warmup: int = 2):
+def bench_e2e_svb(n_frames: int = 1536, iters: int = 5, warmup: int = 2,
+                  batch: int = 1):
     """Full a2p path: MleSVBVAE forward (a2a+p2p+a2p) + HiFiGAN-NSF vocoding
-    of the a2p mel, one utterance per call (BASELINE.json config #4)."""
+    of the a2p mel (BASELINE.json config #4). ``batch`` utterances per call —
+    bs=1 matches the reference's serving mode; bs>1 amortizes the per-dispatch
+    host overhead and is the production-throughput number."""
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _batch, _flagship_hparams
@@ -62,7 +65,7 @@ def bench_e2e_svb(n_frames: int = 1536, iters: int = 5, warmup: int = 2):
     hp = _flagship_hparams()
     hparams.update({k: v for k, v in hp.items() if k not in hparams})
     model = SVBVAE(dict_size=100, variant="mle")
-    b = _batch(1, n_frames, n_frames)
+    b = _batch(batch, n_frames, n_frames)
     rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
             "dropout": jax.random.PRNGKey(2)}
     variables = model.init(rngs, b["mels"], b["prof_mels"], b["pitch"],
@@ -73,7 +76,7 @@ def bench_e2e_svb(n_frames: int = 1536, iters: int = 5, warmup: int = 2):
     voc = HifiGanGenerator(upsample_rates=(8, 8, 2),
                            upsample_kernel_sizes=(16, 16, 4),
                            upsample_initial_channel=512, use_pitch_embed=True)
-    f0 = np.full((1, n_frames), 220.0, np.float32)
+    f0 = np.full((batch, n_frames), 220.0, np.float32)
     voc_vars = voc.init({"params": jax.random.PRNGKey(3),
                          "noise": jax.random.PRNGKey(4)},
                         b["mels"][:, :8], f0[:, :8])
@@ -99,12 +102,13 @@ def bench_e2e_svb(n_frames: int = 1536, iters: int = 5, warmup: int = 2):
         e2e(*args, jax.random.fold_in(key, i)).block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     audio_sec = n_frames * HOP / SR
-    return 1.0 / dt, dt / audio_sec, audio_sec
+    return batch / dt, dt / (audio_sec * batch), audio_sec
 
 
 def main():
     rtf, audio_sec, dt = bench_vocoder_rtf()
     utt_per_sec, e2e_rtf, e2e_audio = bench_e2e_svb()
+    utt_per_sec_b8, e2e_rtf_b8, _ = bench_e2e_svb(iters=3, warmup=2, batch=8)
     result = {
         "metric": "hifigan_nsf_vocoder_rtf_per_chip",
         "value": round(rtf, 6),
@@ -114,6 +118,8 @@ def main():
                    "compute_sec_per_call": round(dt, 4),
                    "e2e_svb_utterances_per_sec": round(utt_per_sec, 2),
                    "e2e_svb_rtf": round(e2e_rtf, 6),
+                   "e2e_svb_utterances_per_sec_b8": round(utt_per_sec_b8, 2),
+                   "e2e_svb_rtf_b8": round(e2e_rtf_b8, 6),
                    "e2e_utt_audio_sec": round(e2e_audio, 2),
                    "device": str(__import__("jax").devices()[0])},
     }
