@@ -86,6 +86,12 @@ class Trainer:
         self.best_val = best
         self._build_logger(task)
 
+        if hparams.get("validate"):
+            # --validate: full validation pass on the restored ckpt, no
+            # training (reference: trainer.py validate-only mode)
+            self.run_evaluation(task, max_batches=10 ** 9, save=False)
+            return
+
         train_loader = iter(task.train_dataloader())
         task.on_train_start()
 
