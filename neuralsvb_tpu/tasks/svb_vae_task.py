@@ -649,6 +649,8 @@ class SVBVAETaskBase(BaseTask):
 
     def test_step(self, batch, batch_idx: int):
         assert batch["nsamples"] == 1, "inference supports batch_size=1"
+        import time
+        t0 = time.perf_counter()
         out, _, b = self._eval_forward(batch, WAYS)
         f0s = {
             "a2a": denorm_f0(batch["f0"], batch["uv"], hparams),
@@ -681,6 +683,14 @@ class SVBVAETaskBase(BaseTask):
         self.results_id += 1
         self.saving_results_futures.append(self.saving_result_pool.apply_async(
             self.save_result, args=[wavs_dict, base_fn, gen_dir, mels_dict, prefix]))
+        if hparams.get("profile_infer"):
+            # model forward + vocoding wall time per utterance
+            # (reference: fs2.py profile_infer timers)
+            if not hasattr(self, "_rtf_meter"):
+                from ..utils.profiling import RTFMeter
+                self._rtf_meter = RTFMeter()
+            audio_sec = Tp * hparams["hop_size"] / hparams["audio_sample_rate"]
+            self._rtf_meter.add(time.perf_counter() - t0, audio_sec)
         return {"item_name": item_name}
 
     @staticmethod
@@ -703,6 +713,11 @@ class SVBVAETaskBase(BaseTask):
         for f in self.saving_results_futures:
             f.get()
         self.saving_result_pool.join()
+        if hparams.get("profile_infer") and hasattr(self, "_rtf_meter"):
+            m = self._rtf_meter
+            print(f"| profile_infer: {len(outputs)} utts, "
+                  f"{m.audio_sec:.1f}s audio in {m.compute_sec:.2f}s "
+                  f"wall -> RTF {m.rtf:.5f}")
         return {}
 
     def on_epoch_end(self):
