@@ -50,6 +50,7 @@ class VCPPG(nn.Module):
     num_heads: int = 2
     dropout: float = 0.05
     ref_attn: bool = False      # banded reference attention over timbre mel
+    asr_enc_type: str = "conformer"  # conformer | conv
     para: bool = False          # gather PPG through conversion_alignment
     pre_exp: bool = False       # gather raw mel before the ASR
     aligned_asr: bool = False   # repeat/gather/pool inside the ASR
@@ -60,6 +61,7 @@ class VCPPG(nn.Module):
         self.pitch_encoder = ConvStacks(n_layers=3, n_chans=H, odim=H)
         self.vc_asr = VCASR(self.dict_size, H, self.asr_enc_layers,
                             self.asr_dec_layers, self.mel_strides,
+                            asr_enc_type=self.asr_enc_type,
                             asr_last_norm=self.asr_last_norm)
         self.upsample_layer = CondUpsampler(H, self.mel_strides)
         if self.use_energy:

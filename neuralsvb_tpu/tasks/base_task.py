@@ -171,6 +171,7 @@ class BaseTask:
             accumulate_grad_batches=hparams["accumulate_grad_batches"],
             monitor_key=hparams["valid_monitor_key"],
             monitor_mode=hparams["valid_monitor_mode"],
+            max_epochs=hparams.get("max_epochs") or 1000,
         )
         if not hparams.get("infer"):
             trainer.fit(task)

@@ -51,7 +51,10 @@ class SVBParaTask(AdversarialTaskBase):
             asr_last_norm=hp["asr_last_norm"], ref_enc_out=hp["ref_enc_out"],
             use_energy=hp["use_energy"], use_spk_id=hp["use_spk_id"],
             num_spk=hp["num_spk"], use_tech=hp.get("use_tech", True),
-            num_techs=hp.get("num_techs", 3), decoder_type=hp["decoder_type"],
+            num_techs=hp.get("num_techs", 3),
+            ref_attn=bool(hp.get("ref_attn")),
+            asr_enc_type=hp.get("asr_enc_type") or "conformer",
+            decoder_type=hp["decoder_type"],
             dec_layers=hp["dec_layers"],
             dec_ffn_kernel_size=hp["dec_ffn_kernel_size"],
             num_heads=hp["num_heads"], dropout=hp["dropout"])

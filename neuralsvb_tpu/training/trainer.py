@@ -80,6 +80,13 @@ class Trainer:
         state, step, epoch, best = restore_checkpoint(
             task.state_template(), self.work_dir, resume_step) if self.work_dir \
             else (task.state_template(), 0, 0, None)
+        if step == 0 and hparams.get("load_ckpt"):
+            # warm start from another experiment's weights
+            # (reference: fs2.py:70-71 / svb_para.py:440-441 load_ckpt)
+            from .checkpoint import load_sub_params
+            state["params"] = load_sub_params(state["params"],
+                                              hparams["load_ckpt"])
+            print(f"| Warm-started params from {hparams['load_ckpt']}")
         task.set_state(state)
         self.global_step = task.global_step = step
         self.current_epoch = task.current_epoch = epoch
