@@ -57,6 +57,13 @@ def _parse_override_value(raw: str, current: Any) -> Any:
             return ast.literal_eval(raw)
         except (ValueError, SyntaxError):
             return raw
+    if isinstance(current, int) and not isinstance(current, bool):
+        # int-typed default must still accept a float override
+        # (e.g. clip_grad_value: 0 -> --hparams "clip_grad_value=0.5")
+        try:
+            return int(raw)
+        except ValueError:
+            return float(raw)
     return type(current)(raw)
 
 

@@ -116,8 +116,11 @@ class AdversarialTaskBase(BaseTask):
 
         accum = int(hp.get("accumulate_grad_batches", 1) or 1)
 
+        clip_value = float(hp.get("clip_grad_value") or 0)
+
         def chain(clip, b1, b2, eps=1e-8, wd=0.0):
             tx = optax.chain(
+                optax.clip(clip_value) if clip_value > 0 else optax.identity(),
                 optax.clip_by_global_norm(clip) if clip > 0 else optax.identity(),
                 optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
                 optax.add_decayed_weights(wd))
@@ -127,7 +130,8 @@ class AdversarialTaskBase(BaseTask):
 
         b1, b2 = hp["optimizer_adam_beta1"], hp["optimizer_adam_beta2"]
         disc_p = hp.get("discriminator_optimizer_params", {})
-        self.tx_gen = chain(hp.get("generator_grad_norm", 0), b1, b2,
+        self.tx_gen = chain(hp.get("generator_grad_norm")
+                            or hp.get("clip_grad_norm") or 0, b1, b2,
                             wd=hp.get("weight_decay", 0.0))
         self.sched_gen = (rsqrt_schedule(hp["lr"], hp["warmup_updates"],
                                          hp["hidden_size"])

@@ -245,8 +245,11 @@ class SVBVAETaskBase(BaseTask):
 
         accum = int(hp.get("accumulate_grad_batches", 1) or 1)
 
+        clip_value = float(hp.get("clip_grad_value") or 0)
+
         def adamw(clip, b1, b2, eps=1e-8, wd=0.0):
             tx = optax.chain(
+                optax.clip(clip_value) if clip_value > 0 else optax.identity(),
                 optax.clip_by_global_norm(clip) if clip > 0 else optax.identity(),
                 optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
                 optax.add_decayed_weights(wd),
