@@ -251,7 +251,31 @@ class FastSpeech2Task(AdversarialTaskBase):
         self.saving_results_futures.append(self.saving_result_pool.apply_async(
             SVBVAETaskBase.save_result,
             args=[wavs_named, base_fn, gen_dir, {"mel": mel_pred}]))
+        if hparams.get("save_f0") and "G" in wavs:
+            self.saving_results_futures.append(self.saving_result_pool.apply_async(
+                self._save_f0_plot,
+                args=[wavs["P"], mel_pred, wavs["G"],
+                      np.asarray(batch["mels"][0][:T]), gen_dir, base_fn]))
         return {"item_name": batch["item_name"][0]}
+
+    @staticmethod
+    def _save_f0_plot(wav_pred, mel_pred, wav_gt, mel_gt, gen_dir, base_fn):
+        """Overlay pred/gt f0 tracked from the vocoded wavs
+        (reference: fs2.py:432-447 save_f0 plotting)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from ..ops.pitch import get_pitch
+        f0_p, _ = get_pitch(wav_pred, mel_pred, hparams)
+        f0_g, _ = get_pitch(wav_gt, mel_gt, hparams)
+        os.makedirs(f"{gen_dir}/plot", exist_ok=True)
+        fig = plt.figure()
+        plt.plot(f0_p, label=r"$f0_P$")
+        plt.plot(f0_g, label=r"$f0_G$")
+        plt.legend()
+        plt.tight_layout()
+        plt.savefig(f"{gen_dir}/plot/[F0]{base_fn}.png", format="png")
+        plt.close(fig)
 
     def test_end(self, outputs):
         self.saving_result_pool.close()
