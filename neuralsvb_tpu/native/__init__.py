@@ -44,6 +44,12 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.pitch_viterbi.restype = None
+        lib.pitch_viterbi.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _LIB = lib
         return _LIB
 
@@ -62,3 +68,23 @@ def dtw_align_native(cost: np.ndarray):
         ctypes.c_int64(rows), ctypes.c_int64(cols),
         path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return path, total
+
+
+def pitch_viterbi_native(freqs: np.ndarray, strengths: np.ndarray,
+                         octave_jump_cost: float, vuv_cost: float):
+    """C++ Viterbi for the pitch tracker. freqs/strengths: [T, K] float.
+    Returns path [T] int32 or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    freqs = np.ascontiguousarray(freqs, dtype=np.float32)
+    strengths = np.ascontiguousarray(strengths, dtype=np.float32)
+    T, K = freqs.shape
+    path = np.zeros(T, dtype=np.int32)
+    lib.pitch_viterbi(
+        freqs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        strengths.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(T), ctypes.c_int64(K),
+        ctypes.c_double(octave_jump_cost), ctypes.c_double(vuv_cost),
+        path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return path

@@ -13,6 +13,7 @@
 //   (i-1,j-1) (Python min() keeps the first minimal element);
 //   results[i] = last j visited in row i; row 0 stays 0.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
@@ -63,6 +64,54 @@ double dtw_align(const float* cost, int64_t rows, int64_t cols, int32_t* path_ou
         else { i -= 1; j -= 1; }
     }
     return total;
+}
+
+// Viterbi path for the pitch tracker (ops/pitch.py track_pitch):
+// score/backptr DP over T frames x K candidates with octave-jump and
+// voiced/unvoiced transition costs, then backtrace. Matches the numpy
+// reference implementation bit-for-bit in float64 accumulation.
+void pitch_viterbi(const float* freqs, const float* strengths,
+                   int64_t T, int64_t K, double octave_jump_cost,
+                   double vuv_cost, int32_t* path_out) {
+    std::vector<double> score(K), next_score(K);
+    std::vector<int32_t> backptr((size_t)T * K, 0);
+    for (int64_t k = 0; k < K; ++k) score[k] = strengths[k];
+    for (int64_t t = 1; t < T; ++t) {
+        const float* pf = freqs + (t - 1) * K;
+        const float* f = freqs + t * K;
+        const float* st = strengths + t * K;
+        for (int64_t j = 0; j < K; ++j) {
+            double best = -1e30;
+            int32_t arg = 0;
+            for (int64_t i = 0; i < K; ++i) {
+                double trans;
+                bool vp = pf[i] > 0, vc = f[j] > 0;
+                if (vp && vc) {
+                    double a = pf[i] > 1e-6 ? pf[i] : 1e-6;
+                    double b = f[j] > 1e-6 ? f[j] : 1e-6;
+                    trans = octave_jump_cost * std::fabs(std::log2(a / b));
+                } else if (vp != vc) {
+                    trans = vuv_cost;
+                } else {
+                    trans = 0.0;
+                }
+                double v = score[i] - trans;
+                if (v > best) { best = v; arg = (int32_t)i; }
+            }
+            backptr[(size_t)t * K + j] = arg;
+            next_score[j] = best + st[j];
+        }
+        std::swap(score, next_score);
+    }
+    int32_t cur = 0;
+    double best = -1e30;
+    for (int64_t k = 0; k < K; ++k)
+        if (score[k] > best) { best = score[k]; cur = (int32_t)k; }
+    path_out[T - 1] = cur;
+    for (int64_t t = T - 1; t > 0; --t) {
+        cur = backptr[(size_t)t * K + cur];
+        path_out[t - 1] = cur;
+    }
 }
 
 }  // extern "C"

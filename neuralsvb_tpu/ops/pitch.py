@@ -114,8 +114,14 @@ def track_pitch(wav: np.ndarray, sr: int, hop: int, f0_min: float = 80.0,
     strengths = np.asarray(strengths)
     T, K = freqs.shape
 
-    # Viterbi on host (small T*K^2), vectorized over candidates
+    # Viterbi on host (small T*K^2): C++ kernel when available, else the
+    # equivalent vectorized-numpy DP below
     octave_jump_cost, vuv_cost = 0.35, 0.14
+    from ..native import pitch_viterbi_native
+    path_native = pitch_viterbi_native(freqs, strengths,
+                                       octave_jump_cost, vuv_cost)
+    if path_native is not None:
+        return freqs[np.arange(T), path_native]
     score = strengths[0].copy()
     backptr = np.zeros((T, K), np.int32)
     prev_f = freqs[0]

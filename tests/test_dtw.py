@@ -109,3 +109,38 @@ def test_dtw_dp_jax_matches_numpy():
     finite = np.isfinite(table_np)
     np.testing.assert_allclose(table_j[finite], table_np[finite], rtol=1e-5, atol=1e-4)
     assert (table_j[~finite] >= 1e29).all()
+
+
+def test_pitch_viterbi_native_matches_numpy():
+    """C++ pitch Viterbi path == the vectorized-numpy DP in ops/pitch.py."""
+    from neuralsvb_tpu.native import pitch_viterbi_native
+    rng = np.random.RandomState(3)
+    T, K = 200, 12
+    freqs = rng.uniform(80, 600, (T, K)).astype(np.float32)
+    freqs[rng.rand(T, K) < 0.2] = 0.0  # unvoiced candidates
+    strengths = rng.rand(T, K).astype(np.float32)
+    native = pitch_viterbi_native(freqs, strengths, 0.35, 0.14)
+    if native is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    # numpy reference DP (mirrors ops/pitch.py fallback)
+    score = strengths[0].astype(np.float64).copy()
+    backptr = np.zeros((T, K), np.int32)
+    prev_f = freqs[0]
+    for t in range(1, T):
+        f = freqs[t]
+        both = (prev_f[:, None] > 0) & (f[None, :] > 0)
+        jump = np.abs(np.log2(np.maximum(prev_f[:, None], 1e-6) /
+                              np.maximum(f[None, :], 1e-6)))
+        trans = np.where(both, 0.35 * jump,
+                         np.where((prev_f[:, None] > 0) != (f[None, :] > 0),
+                                  0.14, 0.0))
+        total = score[:, None] - trans
+        backptr[t] = total.argmax(0)
+        score = total.max(0) + strengths[t]
+        prev_f = f
+    path = np.zeros(T, np.int32)
+    path[-1] = int(score.argmax())
+    for t in range(T - 1, 0, -1):
+        path[t - 1] = backptr[t, path[t]]
+    np.testing.assert_array_equal(np.asarray(native), path)
