@@ -44,11 +44,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Put array leaves of a batch dict onto the mesh, sharded on 'data'.
-    Non-array entries (strings, ids) pass through on host."""
+    Non-array entries (strings, ids) pass through on host.
+
+    Multi-host (``jax.distributed.initialize`` via NSVB_MULTIHOST): each
+    process passes its LOCAL batch slice (identically seeded loaders, one
+    1/process_count share each) and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the SPMD replacement for
+    the reference's per-rank ``x[rank::world]`` slicing (tts.py:93-96)."""
     bs = batch_sharding(mesh)
+    multihost = jax.process_count() > 1
 
     def put(x):
         if isinstance(x, np.ndarray) and x.ndim >= 1:
+            if multihost:
+                return jax.make_array_from_process_local_data(bs, x)
             return jax.device_put(x, bs)
         return x
     return {k: put(v) for k, v in batch.items()}
