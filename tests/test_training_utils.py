@@ -1,0 +1,70 @@
+"""Unit tests for LR schedules and checkpoint retention/best/restore."""
+
+import numpy as np
+
+from neuralsvb_tpu.training.checkpoint import (get_all_ckpts,
+                                               get_last_checkpoint,
+                                               restore_checkpoint,
+                                               save_checkpoint)
+from neuralsvb_tpu.training.schedulers import (none_schedule, rsqrt_schedule,
+                                               step_lr_schedule)
+
+
+def test_rsqrt_schedule():
+    fn = rsqrt_schedule(lr=1.0, warmup_updates=100, hidden_size=256)
+    # linear warmup
+    assert fn(50) < fn(100)
+    assert abs(fn(50) / fn(100) - 0.5) < 1e-6
+    # rsqrt decay after warmup
+    assert abs(fn(400) / fn(100) - 0.5) < 1e-6
+    # floor
+    assert fn(10 ** 18) == 1e-7
+    # peak = lr * warmup^-0.5 * hidden^-0.5
+    assert abs(fn(100) - 100 ** -0.5 * 256 ** -0.5) < 1e-9
+
+
+def test_step_lr_schedule():
+    fn = step_lr_schedule(lr=2.0, step_size=10, gamma=0.5)
+    assert fn(0) == 2.0 and fn(9) == 2.0
+    assert fn(10) == 1.0 and fn(25) == 0.5
+    assert none_schedule(3.0)(12345) == 3.0
+
+
+def test_checkpoint_retention_best_and_restore(tmp_path):
+    wd = str(tmp_path)
+    template = {"params": {"w": np.zeros((2, 2), np.float32)}}
+    for step, best in [(2, None), (4, 0.9), (6, 0.7), (8, 0.8)]:
+        state = {"params": {"w": np.full((2, 2), step, np.float32)}}
+        save_checkpoint(state, wd, step, epoch=step // 2, num_ckpt_keep=2,
+                        best_val=best, is_best=(best == 0.7))
+    kept = get_all_ckpts(wd)
+    assert [int(p.split("steps_")[1].split(".")[0]) for p in kept] == [8, 6]
+    assert get_last_checkpoint(wd).endswith("steps_8.ckpt")
+    state, step, epoch, best = restore_checkpoint(template, wd)
+    assert step == 8 and epoch == 4 and best == 0.8
+    np.testing.assert_array_equal(state["params"]["w"], np.full((2, 2), 8.0))
+    # steps pin (resume_from_checkpoint)
+    state6, step6, _, _ = restore_checkpoint(template, wd, steps=6)
+    assert step6 == 6
+    np.testing.assert_array_equal(state6["params"]["w"], np.full((2, 2), 6.0))
+    # best snapshot exists and holds the step-6 weights
+    import os
+    from flax import serialization
+    best_fn = os.path.join(wd, "model_ckpt_best.pt")
+    assert os.path.exists(best_fn)
+    raw = serialization.msgpack_restore(open(best_fn, "rb").read())
+    np.testing.assert_array_equal(raw["state"]["params"]["w"],
+                                  np.full((2, 2), 6.0))
+
+
+def test_restore_lenient_extra_and_missing(tmp_path):
+    wd = str(tmp_path)
+    save_checkpoint({"params": {"a": np.ones(3, np.float32),
+                                "gone": np.ones(2, np.float32)}},
+                    wd, 1, 0)
+    template = {"params": {"a": np.zeros(3, np.float32),
+                           "new": np.zeros(4, np.float32)}}
+    state, step, _, _ = restore_checkpoint(template, wd)
+    np.testing.assert_array_equal(state["params"]["a"], np.ones(3))
+    np.testing.assert_array_equal(state["params"]["new"], np.zeros(4))
+    assert "gone" not in state["params"]
