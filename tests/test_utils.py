@@ -54,3 +54,23 @@ def test_timer_and_rtf():
     m = RTFMeter()
     m.add(0.5, 10.0)
     assert abs(m.rtf - 0.05) < 1e-9
+
+
+def test_mcd_eval_dirs(tmp_path, capsys):
+    """mcd_eval harness: matches by basename, 0 dB on identical mels,
+    positive on perturbed."""
+    import numpy as np
+    from neuralsvb_tpu.tasks.mcd_eval import evaluate_dirs
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        mel = rng.randn(50 + i, 80).astype(np.float32)
+        np.save(a / f"item{i}.npy", mel)
+        np.save(b / f"item{i}.npy", mel)
+    np.save(a / "only_a.npy", rng.randn(10, 80))
+    assert evaluate_dirs(str(a), str(b)) < 1e-6
+    # constant offsets shift only c0, which MCD excludes; use shaped noise
+    np.save(b / "item0.npy",
+            np.load(a / "item0.npy") + 0.3 * rng.randn(50, 80))
+    assert evaluate_dirs(str(a), str(b)) > 0.01
