@@ -176,6 +176,13 @@ class FVAE(nn.Module):
         Train: returns (x_recon, loss_kl, z_p, m_q, logs_q, x_mask_sqz, z_q).
         Infer: returns (x_recon, z_p) with z sampled from the prior.
         """
+        stride_total = int(np.prod(self.strides))
+        if x is not None:
+            assert x.shape[1] % stride_total == 0, (
+                f"FVAE input frames ({x.shape[1]}) must be a multiple of the "
+                f"latent stride ({stride_total} = prod(frames_multiple)); pad "
+                f"via frames_multiple / collate_bucket_quant, do not change "
+                f"frames_multiple to control padding")
         g_sqz = self._squeeze_g(g)
         if not infer:
             z_q, m_q, logs_q, x_mask_sqz = self.encoder(x, x_mask, g_sqz, train=train)
