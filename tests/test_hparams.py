@@ -70,3 +70,34 @@ def test_workdir_persistence(tmp_path, monkeypatch):
     h3 = set_hparams(config=str(cfg_fn), exp_name="expX", print_hparams=False,
                      hparams_str="b=7")
     assert h3["b"] == 7
+
+
+def test_all_config_class_references_resolve():
+    """Every task_cls/binarizer_cls/pre_align_cls named in egs/ imports."""
+    import glob
+    import importlib
+    import os
+    import yaml
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fns = glob.glob(os.path.join(repo, "egs", "**", "*.yaml"), recursive=True)
+    assert len(fns) >= 20
+    for fn in fns:
+        cfg = yaml.safe_load(open(fn)) or {}
+        for key in ("task_cls", "binarizer_cls", "pre_align_cls"):
+            val = cfg.get(key)
+            if not val:
+                continue
+            mod, cls = val.rsplit(".", 1)
+            assert hasattr(importlib.import_module(mod), cls), (fn, val)
+
+
+def test_all_configs_load_recursively():
+    """base_config chains resolve for every leaf config."""
+    import glob
+    import os
+    from neuralsvb_tpu.hparams import load_config_recursive
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.chdir(repo)
+    for fn in glob.glob("egs/**/*.yaml", recursive=True):
+        cfg = load_config_recursive(fn)
+        assert isinstance(cfg, dict) and cfg, fn
