@@ -284,6 +284,14 @@ class PWGTask(HifiGanTask):
     single-discriminator LSGAN (the reference ships PWG's losses/optimizers
     as support code but no task — restored here; RAdam is replaced by Adam)."""
 
+    @staticmethod
+    def _stft_scales():
+        """Multi-resolution STFT setups from config (stft_loss_scales:
+        [[fft, hop, win], ...]) or the reference defaults."""
+        from ..models.stft_loss import DEFAULT_RESOLUTIONS
+        scales = hparams.get("stft_loss_scales")
+        return [tuple(s) for s in scales] if scales else DEFAULT_RESOLUTIONS
+
     def build_model(self):
         hp = hparams
         from ..models.pwg import (ParallelWaveGANDiscriminator,
@@ -344,7 +352,8 @@ class PWGTask(HifiGanTask):
                 c = jnp.pad(batch["mels"], ((0, 0), (ctx, ctx), (0, 0)),
                             mode="edge")
                 y_hat = self.model.apply({"params": params}, z, c)
-                sc, mag = multi_resolution_stft_loss(y_hat, batch["wavs"])
+                sc, mag = multi_resolution_stft_loss(
+                    y_hat, batch["wavs"], resolutions=self._stft_scales())
                 losses = {"sc": sc, "mag": mag}
                 d_out = self.disc.apply({"params": state["disc"]}, y_hat)
                 losses["a"] = mse(d_out, 1.0) * lam_adv
@@ -393,7 +402,8 @@ class PWGTask(HifiGanTask):
                               batch["wavs"].shape)[:, :, None]
         c = np.pad(batch["mels"], ((0, 0), (ctx, ctx), (0, 0)), mode="edge")
         y_hat = self.model.apply({"params": self.state["params"]}, z, c)
-        sc, mag = multi_resolution_stft_loss(y_hat, batch["wavs"])
+        sc, mag = multi_resolution_stft_loss(
+            y_hat, batch["wavs"], resolutions=self._stft_scales())
         losses = {"sc": float(sc), "mag": float(mag)}
         return {"losses": losses, "total_loss": sum(losses.values()),
                 "nsamples": batch["nsamples"]}
