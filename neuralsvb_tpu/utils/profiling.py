@@ -63,3 +63,32 @@ class RTFMeter:
     @property
     def rtf(self):
         return self.compute_sec / max(self.audio_sec, 1e-9)
+
+
+def device_busy_from_xplane(trace_dir: str):
+    """Parse the .xplane.pb files a ``profiler_trace`` capture writes and
+    return {plane_name: busy_seconds}, where busy is the largest per-line sum
+    of event durations on that plane (the op stream). This separates device
+    compute from host/dispatch wall time — essential on remote TPU backends
+    where per-dispatch host overhead dominates microbenchmarks.
+
+    Requires the pure-python protobuf runtime for the TSL xplane schema
+    (PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python is set automatically)."""
+    import glob
+    import os
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    out = {}
+    for fn in glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                        recursive=True):
+        space = xplane_pb2.XSpace()
+        with open(fn, "rb") as f:
+            space.ParseFromString(f.read())
+        for plane in space.planes:
+            best = 0
+            for line in plane.lines:
+                total = sum(ev.duration_ps for ev in line.events)
+                best = max(best, total)
+            if best:
+                out[plane.name] = max(out.get(plane.name, 0.0), best * 1e-12)
+    return out

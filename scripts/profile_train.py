@@ -1,0 +1,75 @@
+"""Wall-vs-device breakdown of the flagship training steps.
+
+Runs the fused generator(+disc) / discriminator / latent-map steps a few
+times under a jax.profiler trace and prints, per step kind, the wall time and
+the device busy time parsed from the xplane capture — separating XLA compute
+from host dispatch/tunnel overhead (see README 'Benchmarks').
+
+Usage: python scripts/profile_train.py [--tiny] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--frames", type=int, default=1536)
+    ap.add_argument("--batch", type=int, default=12)
+    args = ap.parse_args()
+
+    from __graft_entry__ import _batch, _flagship_hparams
+    from neuralsvb_tpu.hparams import hparams
+    from neuralsvb_tpu.utils.profiling import (device_busy_from_xplane,
+                                               profiler_trace)
+
+    hp = _flagship_hparams(tiny=args.tiny)
+    hp.update(mesh_shape="data:1", phase_2_steps=10 ** 6)
+    hparams.clear()
+    hparams.update(hp)
+    from neuralsvb_tpu.tasks.svb_vae_task import SVBVAEMleTask
+    task = SVBVAEMleTask()
+    task.build_model()
+    B = args.batch if not args.tiny else 2
+    T = args.frames if not args.tiny else 64
+    batch = _batch(B, T, T)
+    batch["nsamples"] = B
+
+    import jax
+
+    def cycle(step):
+        # one full training iteration: fused gen+disc dispatch, disc update,
+        # and (phase 3) the latent-map step
+        for opt in range(task.num_optimizers):
+            task.training_step(batch, step, opt)
+
+    for name, step in [("gen+disc (phase 2)", 5), ("full+map (phase 3)", 10 ** 6 + 5)]:
+        cycle(step)  # compile
+        jax.block_until_ready(task.state)  # drain async work
+        trace_dir = tempfile.mkdtemp(prefix="nsvb_prof_")
+        t0 = time.perf_counter()
+        with profiler_trace(trace_dir):
+            for _ in range(args.steps):
+                cycle(step)
+            jax.block_until_ready(task.state)
+        wall = (time.perf_counter() - t0) / args.steps
+        busy = device_busy_from_xplane(trace_dir)
+        dev = max((v for k, v in busy.items() if "host" not in k.lower()),
+                  default=max(busy.values(), default=0.0)) / args.steps
+        print(f"| {name}: wall {wall * 1e3:.1f} ms/iter, "
+              f"device busy {dev * 1e3:.1f} ms/iter "
+              f"({dev / max(wall, 1e-9) * 100:.0f}% of wall; rest is host "
+              f"dispatch / transfer / tunnel)")
+
+
+if __name__ == "__main__":
+    main()
