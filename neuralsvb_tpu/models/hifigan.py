@@ -13,7 +13,7 @@ north-star path (BASELINE.md). Weight norm is folded into plain convs
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax
