@@ -199,8 +199,17 @@ class SVBVAETaskBase(BaseTask):
             from flax import serialization
             torch_ckpts = sorted(_glob.glob(os.path.join(asr_ckpt, "*.ckpt"))) \
                 if os.path.isdir(asr_ckpt) else []
+
+            def _is_torch(path):
+                # torch saves zip archives (PK..) or legacy pickles (\x80);
+                # our native ckpts are msgpack
+                with open(path, "rb") as f:
+                    head = f.read(4)
+                return head[:4] == b"PK\x03\x04" or head[:1] == b"\x80"
+
             converted = None
-            if torch_ckpts and not any("msgpack" in f for f in torch_ckpts):
+            if torch_ckpts and not any("msgpack" in f for f in torch_ckpts) \
+                    and _is_torch(torch_ckpts[-1]):
                 try:
                     from ..convert.torch2jax import convert_vcasr, fold_weight_norm, \
                         load_state_dict
