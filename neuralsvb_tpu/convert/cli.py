@@ -27,12 +27,21 @@ def main():
     ap.add_argument("--fvae_dec_layers", type=int, default=4)
     ap.add_argument("--asr_enc_layers", type=int, default=2)
     ap.add_argument("--asr_dec_layers", type=int, default=2)
+    ap.add_argument("--upsample_rates", default="8,8,2",
+                    help="comma list; vocoder architecture of the torch ckpt")
+    ap.add_argument("--upsample_kernel_sizes", default="16,16,4")
+    ap.add_argument("--upsample_initial_channel", type=int, default=512)
     args = ap.parse_args()
 
     from . import torch2jax as c
     if args.kind == "hifigan":
         from ..models.hifigan import HifiGanGenerator
-        model = HifiGanGenerator()
+        model = HifiGanGenerator(
+            upsample_rates=tuple(int(x) for x in
+                                 args.upsample_rates.split(",")),
+            upsample_kernel_sizes=tuple(int(x) for x in
+                                        args.upsample_kernel_sizes.split(",")),
+            upsample_initial_channel=args.upsample_initial_channel)
         params = c.convert_hifigan(args.ckpt, model)
         payload = serialization.msgpack_serialize(
             serialization.to_state_dict(params))
