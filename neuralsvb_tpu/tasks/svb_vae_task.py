@@ -325,7 +325,7 @@ class SVBVAETaskBase(BaseTask):
             mel_g = batch["prof_mels"] if way in ("p2p", "a2p") else batch["mels"]
             if "kl" in out[way]:
                 losses[f"{way}_kl"] = nan_guard(out[way]["kl"]) * hp["lambda_kl"]
-            if way == "a2p" and hp["cross_way_no_recon_loss"]:
+            if way not in ("a2a", "p2p") and hp["cross_way_no_recon_loss"]:
                 pass
             else:
                 add_mel_loss(self.loss_and_lambda, out[way]["mel_out"], mel_g,
