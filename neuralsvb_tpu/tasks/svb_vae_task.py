@@ -660,7 +660,6 @@ class SVBVAETaskBase(BaseTask):
         self.results_id = 0
 
     def test_step(self, batch, batch_idx: int):
-        assert batch["nsamples"] == 1, "inference supports batch_size=1"
         import time
         t0 = time.perf_counter()
         out, _, b = self._eval_forward(batch, WAYS)
@@ -669,41 +668,49 @@ class SVBVAETaskBase(BaseTask):
             "p2p": denorm_f0(batch["prof_f0"], batch["prof_uv"], hparams),
         }
         f0s["a2p"] = f0s["p2p"]
-        Ta = int(batch["mel_lengths"][0])
-        Tp = int(batch["prof_mel_lengths"][0])
-        lens = {"a2a": Ta, "p2p": Tp, "a2p": Tp}
-        item_name = batch["item_name"][0]
         gen_dir = os.path.join(
             hparams["work_dir"],
             f"generated_{self.global_step}_{hparams['gen_dir_name']}")
         prefix = "disable_map_" if hparams.get("disable_map") else ""
-        wavs_dict = {
-            "gt_a_wavout": self.vocoder.spec2wav(
-                np.asarray(batch["mels"][0][:Ta]), f0=np.asarray(f0s["a2a"][0][:Ta])),
-            "gt_p_wavout": self.vocoder.spec2wav(
-                np.asarray(batch["prof_mels"][0][:Tp]), f0=np.asarray(f0s["p2p"][0][:Tp])),
-        }
-        mels_dict = {"gt_a_mel": np.asarray(batch["mels"][0][:Ta]),
-                     "gt_p_mel": np.asarray(batch["prof_mels"][0][:Tp])}
-        for way in WAYS:
-            L = lens[way]
-            mel = np.asarray(out[way]["mel_out"][0][:L])
-            wavs_dict[f"{way}_wavout"] = self.vocoder.spec2wav(
-                mel, f0=np.asarray(f0s[way][0][:L]))
-            mels_dict[f"{way}_mel"] = mel
-        base_fn = f"[{self.results_id:06d}][{item_name}][P]".replace(" ", "_")
-        self.results_id += 1
-        self.saving_results_futures.append(self.saving_result_pool.apply_async(
-            self.save_result, args=[wavs_dict, base_fn, gen_dir, mels_dict, prefix]))
+        audio_sec_total = 0.0
+        # bs=1 matches the reference CLI; `infer_batch_size: N` batches the
+        # model forward onto the MXU and unpacks per item here
+        for i in range(batch["nsamples"]):
+            Ta = int(batch["mel_lengths"][i])
+            Tp = int(batch["prof_mel_lengths"][i])
+            lens = {"a2a": Ta, "p2p": Tp, "a2p": Tp}
+            item_name = batch["item_name"][i]
+            wavs_dict = {
+                "gt_a_wavout": self.vocoder.spec2wav(
+                    np.asarray(batch["mels"][i][:Ta]),
+                    f0=np.asarray(f0s["a2a"][i][:Ta])),
+                "gt_p_wavout": self.vocoder.spec2wav(
+                    np.asarray(batch["prof_mels"][i][:Tp]),
+                    f0=np.asarray(f0s["p2p"][i][:Tp])),
+            }
+            mels_dict = {"gt_a_mel": np.asarray(batch["mels"][i][:Ta]),
+                         "gt_p_mel": np.asarray(batch["prof_mels"][i][:Tp])}
+            for way in WAYS:
+                L = lens[way]
+                mel = np.asarray(out[way]["mel_out"][i][:L])
+                wavs_dict[f"{way}_wavout"] = self.vocoder.spec2wav(
+                    mel, f0=np.asarray(f0s[way][i][:L]))
+                mels_dict[f"{way}_mel"] = mel
+            base_fn = f"[{self.results_id:06d}][{item_name}][P]".replace(" ", "_")
+            self.results_id += 1
+            self.saving_results_futures.append(
+                self.saving_result_pool.apply_async(
+                    self.save_result,
+                    args=[wavs_dict, base_fn, gen_dir, mels_dict, prefix]))
+            audio_sec_total += Tp * hparams["hop_size"] / hparams["audio_sample_rate"]
         if hparams.get("profile_infer"):
-            # model forward + vocoding wall time per utterance
+            # model forward + vocoding wall time per batch
             # (reference: fs2.py profile_infer timers)
             if not hasattr(self, "_rtf_meter"):
                 from ..utils.profiling import RTFMeter
                 self._rtf_meter = RTFMeter()
-            audio_sec = Tp * hparams["hop_size"] / hparams["audio_sample_rate"]
-            self._rtf_meter.add(time.perf_counter() - t0, audio_sec)
-        return {"item_name": item_name}
+            self._rtf_meter.add(time.perf_counter() - t0, audio_sec_total)
+        return {"item_name": batch["item_name"][0]}
 
     @staticmethod
     def save_result(wavs_dict, base_fn, gen_dir, mels_dict, prefix=""):
@@ -727,9 +734,9 @@ class SVBVAETaskBase(BaseTask):
         self.saving_result_pool.join()
         if hparams.get("profile_infer") and hasattr(self, "_rtf_meter"):
             m = self._rtf_meter
-            print(f"| profile_infer: {len(outputs)} utts, "
-                  f"{m.audio_sec:.1f}s audio in {m.compute_sec:.2f}s "
-                  f"wall -> RTF {m.rtf:.5f}")
+            print(f"| profile_infer: {self.results_id} utts "
+                  f"({len(outputs)} batches), {m.audio_sec:.1f}s audio in "
+                  f"{m.compute_sec:.2f}s wall -> RTF {m.rtf:.5f}")
         return {}
 
     def on_epoch_end(self):
@@ -757,8 +764,9 @@ class SVBVAETaskBase(BaseTask):
 
     def test_dataloader(self, n_devices=None):
         ds = self.dataset_cls(hparams["test_set_name"], shuffle=False)
-        return self.build_dataloader(ds, False, None, 1,
-                                     use_batch_by_size=False, n_devices=1)
+        return self.build_dataloader(
+            ds, False, None, int(hparams.get("infer_batch_size") or 1),
+            use_batch_by_size=False, n_devices=1)
 
 
 class SVBVAETask(SVBVAETaskBase):
