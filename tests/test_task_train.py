@@ -154,6 +154,20 @@ def test_train_val_infer(task_env):
     for sub in ["gt_a_mel", "a2p_mel"]:
         d = os.path.join(gen_dir, "mels", sub)
         assert os.path.isdir(d) and len(os.listdir(d)) == 1, d
+
+    # batched inference: one batch of 2 utterances, per-item outputs
+    hparams["infer_batch_size"] = 2
+    task.global_step = 11
+    task.test_start()
+    outs = []
+    for i, b in enumerate(task.test_dataloader()):
+        assert b["nsamples"] == 2
+        outs.append(task.test_step(b, i))
+        break
+    task.test_end(outs)
+    d = os.path.join(cfg["work_dir"], "generated_11_", "wavs", "a2p_wavout")
+    assert len(os.listdir(d)) == 2, os.listdir(d)
+    hparams["infer_batch_size"] = 1
     hparams["infer"] = False
 
 
