@@ -292,9 +292,13 @@ class AdversarialTaskBase(BaseTask):
 
     def validation_step(self, batch, batch_idx: int):
         b = self.prep_batch(batch, infer=True)
-        losses, _, _, _ = self.forward_losses(
+        losses, fakes, gts, _ = self.forward_losses(
             self.state["params"], self.state["batch_stats"], b,
             self._next_rng(), train=False)
+        self.vis_validation(batch, fakes, gts, batch_idx)
         losses = {k: float(v) for k, v in losses.items()}
         return {"losses": losses, "total_loss": sum(losses.values()),
                 "nsamples": batch["nsamples"]}
+
+    def vis_validation(self, batch, fakes, gts, batch_idx):
+        """Optional TB visualization hook; subclasses override."""

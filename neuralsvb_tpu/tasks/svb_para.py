@@ -173,6 +173,41 @@ class SVBParaTask(AdversarialTaskBase):
             losses["asr_p"] = cross_entropy_ignore0(logits, tokens)
 
     # ------------------------------------------------------------------
+    # validation visualization (reference: svb_para.py:226-269)
+    def vis_validation(self, batch, fakes, gts, batch_idx):
+        if (self.logger is None
+                or self.global_step % hparams["valid_infer_interval"] != 0
+                or batch_idx >= hparams.get("num_valid_plots", 0)):
+            return
+        from ..utils.plot import spec_to_figure, tb_add_audio
+        if getattr(self, "vocoder", None) is None:
+            from ..vocoders.base import get_vocoder_cls
+            self.vocoder = get_vocoder_cls(hparams)(dict(hparams))
+        sr = hparams["audio_sample_rate"]
+        f0s = {"a2a": denorm_f0(batch["f0"], batch["uv"], hparams),
+               "p2p": denorm_f0(batch["prof_f0"], batch["prof_uv"], hparams)}
+        f0s["a2p"], f0s["p2a"] = f0s["p2p"], f0s["a2a"]
+        lens = {"a2a": int(batch["mel_lengths"][0]),
+                "p2p": int(batch["prof_mel_lengths"][0])}
+        lens["a2p"], lens["p2a"] = lens["p2p"], lens["a2a"]
+        for key, mel_pred in fakes.items():
+            way = key.rstrip("_")
+            if way not in lens:
+                continue
+            L = lens[way]
+            mel = np.asarray(mel_pred[0][:L])
+            wav = self.vocoder.spec2wav(mel, f0=np.asarray(f0s[way][0][:L]))
+            tb_add_audio(self.logger, f"{way}_wavout_{batch_idx}", wav,
+                         self.global_step, sr)
+            gt = np.asarray(gts[key][0][:L])
+            fig = spec_to_figure(np.concatenate([gt, mel], -1),
+                                 vmin=hparams["mel_vmin"],
+                                 vmax=hparams["mel_vmax"],
+                                 title=f"{way} gt|pred")
+            self.logger.add_figure(f"{way}_gt_{batch_idx}", fig,
+                                   self.global_step)
+
+    # ------------------------------------------------------------------
     # inference (reference: svb_para.py:275-353)
     def test_start(self):
         from multiprocessing.pool import ThreadPool
