@@ -190,6 +190,30 @@ class FastSpeech2Task(AdversarialTaskBase):
             losses["f0"] = fl * hp["lambda_f0"]
 
     # ------------------------------------------------------------------
+    # validation visualization (reference: fs2.py validation plots)
+    def vis_validation(self, batch, fakes, gts, batch_idx):
+        if (self.logger is None
+                or self.global_step % hparams["valid_infer_interval"] != 0
+                or batch_idx >= hparams.get("num_valid_plots", 0)):
+            return
+        from ..ops.pitch_utils import denorm_f0
+        from ..utils.plot import spec_to_figure, tb_add_audio
+        if getattr(self, "vocoder", None) is None:
+            from ..vocoders.base import get_vocoder_cls
+            self.vocoder = get_vocoder_cls(hparams)(dict(hparams))
+        L = int(batch["mel_lengths"][0])
+        mel = np.asarray(fakes[""][0][:L])
+        gt = np.asarray(gts[""][0][:L])
+        fig = spec_to_figure(np.concatenate([gt, mel], -1),
+                             vmin=hparams["mel_vmin"], vmax=hparams["mel_vmax"],
+                             title="gt|pred")
+        self.logger.add_figure(f"mel_{batch_idx}", fig, self.global_step)
+        f0 = np.asarray(denorm_f0(batch["f0"], batch["uv"], hparams)[0][:L])
+        wav = self.vocoder.spec2wav(mel, f0=f0)
+        tb_add_audio(self.logger, f"wav_{batch_idx}", wav, self.global_step,
+                     hparams["audio_sample_rate"])
+
+    # ------------------------------------------------------------------
     def train_dataloader(self, n_devices=None):
         ds = self.dataset_cls(hparams["train_set_name"], shuffle=True)
         return self.build_dataloader(ds, True, hparams["max_tokens"],
