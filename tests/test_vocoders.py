@@ -109,3 +109,23 @@ def test_hifigan_vocoder_wrapper(tmp_path, monkeypatch):
     # second call with a different length hits the same bucket (no recompile)
     wav2 = voc.spec2wav(mel[:40], f0=f0[:40])
     assert wav2.shape == (40 * 128,)
+
+
+def test_hifigan_wrapper_denoise(tmp_path):
+    """vocoder_denoise_c > 0 routes through spectral subtraction
+    (reference: hifigan wrapper denoise option)."""
+    from neuralsvb_tpu.vocoders import get_vocoder_cls
+    hp = {"vocoder": "hifigan", "vocoder_ckpt": str(tmp_path / "none"),
+          "audio_sample_rate": 22050, "audio_num_mel_bins": 80, "fft_size": 512,
+          "hop_size": 128, "win_size": 512, "fmin": 50, "fmax": 11025,
+          "upsample_rates": (8, 4, 4), "upsample_kernel_sizes": (16, 8, 8),
+          "upsample_initial_channel": 16, "use_pitch_embed": True,
+          "vocoder_denoise_c": 0.01}
+    voc = get_vocoder_cls(hp)(hp)
+    mel = np.random.RandomState(0).randn(50, 80).astype(np.float32)
+    f0 = np.full(50, 220.0, np.float32)
+    wav = voc.spec2wav(mel, f0=f0)
+    assert np.isfinite(wav).all() and len(wav) > 0
+    hp2 = dict(hp, vocoder_denoise_c=0.0)
+    wav_raw = get_vocoder_cls(hp2)(hp2).spec2wav(mel, f0=f0)
+    assert not np.allclose(wav[: len(wav_raw)], wav_raw[: len(wav)])
