@@ -85,3 +85,35 @@ def test_trim_long_silences():
     out, mask, _ = trim_long_silences(wav, sr)
     assert len(out) < len(wav)
     assert len(out) > 2 * len(tone) * 0.9  # tones kept
+
+
+def test_audio_io_resample_griffin_lim(tmp_path):
+    """save/load round-trip, resample length/content, griffin-lim recovers a
+    tone from its magnitude spectrogram."""
+    import numpy as np
+    from neuralsvb_tpu.ops.audio import (griffin_lim, load_wav, resample,
+                                         save_wav, _stft_complex)
+    sr = 22050
+    t = np.arange(sr) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    fn = str(tmp_path / "tone.wav")
+    save_wav(wav, fn, sr)
+    back, got_sr = load_wav(fn)
+    assert got_sr == sr and abs(len(back) - len(wav)) <= 1
+    assert np.corrcoef(back[:len(wav)], wav[:len(back)])[0, 1] > 0.99
+
+    down = resample(wav, sr, sr // 2)
+    assert abs(len(down) - len(wav) // 2) <= 2
+    # dominant frequency survives resampling
+    spec = np.abs(np.fft.rfft(down))
+    freq = np.fft.rfftfreq(len(down), 1.0 / (sr // 2))
+    assert abs(freq[spec.argmax()] - 440) < 15
+
+    hp = {"fft_size": 512, "hop_size": 128, "win_size": 512,
+          "griffin_lim_iters": 30}
+    S = np.abs(_stft_complex(wav[:sr // 2], 512, 128, 512))
+    rec = griffin_lim(S, hp)
+    # reconstruction keeps the 440 Hz peak
+    spec_r = np.abs(np.fft.rfft(rec))
+    freq_r = np.fft.rfftfreq(len(rec), 1.0 / sr)
+    assert abs(freq_r[spec_r.argmax()] - 440) < 15
