@@ -129,3 +129,27 @@ def test_hifigan_wrapper_denoise(tmp_path):
     hp2 = dict(hp, vocoder_denoise_c=0.0)
     wav_raw = get_vocoder_cls(hp2)(hp2).spec2wav(mel, f0=f0)
     assert not np.allclose(wav[: len(wav_raw)], wav_raw[: len(wav)])
+
+
+def test_pwg_wav2spec_wav2mfcc(tmp_path):
+    """wav2spec linear branch and MFCC+deltas extraction shapes/finiteness."""
+    from neuralsvb_tpu.hparams import hparams
+    from neuralsvb_tpu.ops.audio import save_wav
+    from neuralsvb_tpu.vocoders.pwg import PWG
+    hp = {"audio_sample_rate": 22050, "audio_num_mel_bins": 80,
+          "fft_size": 512, "hop_size": 128, "win_size": 512,
+          "fmin": 50, "fmax": 11025, "loud_norm": False,
+          "min_level_db": -100, "ref_level_db": 20}
+    hparams.clear()
+    hparams.update(hp)
+    sr = 22050
+    t = np.arange(sr) / sr
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    fn = str(tmp_path / "a.wav")
+    save_wav(wav, fn, sr)
+    wav_out, mel, spc = PWG.wav2spec(fn, return_linear=True)
+    assert mel.shape[1] == 80 and spc.shape[1] == 512 // 2 + 1
+    assert abs(mel.shape[0] - spc.shape[0]) <= 1
+    mfcc = PWG.wav2mfcc(fn)
+    assert mfcc.shape[1] == 39  # 13 mfcc + delta + delta2
+    assert np.isfinite(mfcc).all()
