@@ -150,3 +150,23 @@ def test_discriminator():
     out2 = m.apply(vars_, x, start_frames_wins=starts,
                    rngs={"disc": jax.random.PRNGKey(99)})
     np.testing.assert_allclose(np.asarray(out["y"]), np.asarray(out2["y"]), atol=1e-6)
+
+
+def test_discriminator_conditional_branch():
+    """use_cond_disc: condition clips are projected and added to the window
+    input (reference: multi_window_disc.py cond path)."""
+    from neuralsvb_tpu.models.disc import Discriminator
+    import jax
+    import jax.numpy as jnp
+    d = Discriminator(time_lengths=(8, 16), freq_length=80, hidden_size=8,
+                      cond_size=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 40, 80))
+    cond = jax.random.normal(jax.random.PRNGKey(1), (2, 40, 16))
+    rngs = {"params": jax.random.PRNGKey(2), "disc": jax.random.PRNGKey(3)}
+    v = d.init(rngs, x, cond)
+    out = d.apply(v, x, cond, rngs={"disc": jax.random.PRNGKey(4)})
+    assert out["y"] is not None and np.isfinite(np.asarray(out["y"])).all()
+    assert out["y_c"] is not None
+    out2 = d.apply(v, x, cond * 10, rngs={"disc": jax.random.PRNGKey(4)})
+    assert not np.allclose(np.asarray(out["y_c"]), np.asarray(out2["y_c"])), \
+        "condition must influence the conditional discriminator"
