@@ -39,20 +39,26 @@ def tensors_to_scalars(d):
 
 
 class DataLoaderLite:
-    """Batches of collated numpy dicts from (dataset, index batches)."""
+    """Batches of collated numpy dicts from (dataset, index batches).
+
+    With ``prefetch > 0`` a daemon thread keeps a small queue of collated
+    batches ahead of the consumer, overlapping dataset IO/collate with the
+    accelerator step (the reference gets this from torch DataLoader
+    ``num_workers``; here collate is numpy so a thread suffices)."""
 
     def __init__(self, dataset, batches: List[List[int]], endless: bool = False,
-                 shuffle: bool = False, seed: int = 1234):
+                 shuffle: bool = False, seed: int = 1234, prefetch: int = 4):
         self.dataset = dataset
         self.batches = batches
         self.endless = endless
         self.shuffle = shuffle
+        self.prefetch = prefetch
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
         return len(self.batches)
 
-    def __iter__(self) -> Iterator[Dict]:
+    def _iter_sync(self) -> Iterator[Dict]:
         while True:
             order = list(range(len(self.batches)))
             if self.shuffle:
@@ -62,6 +68,29 @@ class DataLoaderLite:
                 yield self.dataset.collater([self.dataset[i] for i in idxs])
             if not self.endless:
                 return
+
+    def __iter__(self) -> Iterator[Dict]:
+        if self.prefetch <= 0:
+            yield from self._iter_sync()
+            return
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for b in self._iter_sync():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            b = q.get()
+            if b is sentinel:
+                return
+            yield b
 
 
 class BaseTask:
@@ -99,7 +128,9 @@ class BaseTask:
             batches = [trim_batch_to_multiple(b, n_devices) for b in batches]
             batches = [b for b in batches if len(b) > 0]
         return DataLoaderLite(dataset, batches, endless=endless, shuffle=shuffle,
-                              seed=hparams.get("seed", 1234))
+                              seed=hparams.get("seed", 1234),
+                              prefetch=4 if int(hparams.get("ds_workers", 1)
+                                               or 0) > 0 else 0)
 
     def train_dataloader(self, n_devices=1):
         raise NotImplementedError
