@@ -245,3 +245,35 @@ def test_base_binarizer_text_branch(tmp_path):
     assert it2["len"] == it2["mel"].shape[0] == len(it2["mel2ph"])
     assert int(np.asarray(it2["dur"]).sum()) == it2["len"]
     assert np.asarray(it2["mel2ph"]).min() >= 2, "BOS frames trimmed"
+
+
+def test_binarize_multiprocess_workers(tmp_path):
+    """chunked_multiprocess_run with spawn workers produces the same items
+    as the in-process path (hparams reseeded in children)."""
+    from neuralsvb_tpu.hparams import hparams
+    from neuralsvb_tpu.ops.audio import save_wav
+    root = tmp_path
+    data_dir = root / "processed" / "data" / "p1"
+    data_dir.mkdir(parents=True)
+    for i in range(3):
+        save_wav(_sing(200.0 + 10 * i, 1.0, seed=i),
+                 str(data_dir / f"spkA#read_{i}.wav"), SR)
+    hp = {
+        "processed_data_dir": str(root / "processed"),
+        "binary_data_dir": str(root / "binary"),
+        "binarization_args": {"with_f0": True, "with_wav": False,
+                              "with_spk_embed": False, "shuffle": False},
+        "audio_sample_rate": SR, "fft_size": 512, "hop_size": 128,
+        "win_size": 512, "audio_num_mel_bins": 80, "fmin": 50, "fmax": 11025,
+        "loud_norm": False, "test_num": 1, "num_spk": 10, "ds_workers": 2,
+        "vocoder": "pwg", "vocoder_ckpt": "", "ge2e_ckpt": "",
+    }
+    hparams.clear()
+    hparams.update(hp)
+    from neuralsvb_tpu.data.binarizer import BaseBinarizer
+    BaseBinarizer().process()
+    ds = IndexedDataset(str(root / "binary" / "train"))
+    assert len(ds) == 2
+    for i in range(len(ds)):
+        item = ds[i]
+        assert item["mel"].shape[1] == 80 and (np.asarray(item["f0"]) > 0).any()
