@@ -73,3 +73,38 @@ def test_remat_training_step():
     t1 = jax.tree_util.tree_structure(jax.device_get(task.state["params"]))
     t2 = jax.tree_util.tree_structure(jax.device_get(task2.state["params"]))
     assert t1 == t2, "remat must not change the param tree"
+
+
+def test_tp_checkpoint_roundtrip(tmp_path):
+    """Sharded state gathers to host for saving; restore re-applies the
+    tensor shardings through set_state and training continues."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _flagship_hparams, _batch
+    from neuralsvb_tpu.hparams import hparams
+    from neuralsvb_tpu.training.checkpoint import (restore_checkpoint,
+                                                   save_checkpoint)
+    hp = _flagship_hparams(tiny=True)
+    hp.update(mesh_shape="data:2,model:4", phase_2_steps=10,
+              tp_min_param_size=64)
+    hparams.clear()
+    hparams.update(hp)
+    from neuralsvb_tpu.tasks.svb_vae_task import SVBVAEMleTask
+    task = SVBVAEMleTask()
+    task.build_model()
+    batch = _batch(4, 64, 96)
+    batch["nsamples"] = 4
+    task.training_step(batch, 5, 0)
+    save_checkpoint(task.get_state(), str(tmp_path), 1, 0)
+
+    task2 = SVBVAEMleTask()
+    task2.build_model()
+    state, step, _, _ = restore_checkpoint(task2.state_template(), str(tmp_path))
+    task2.set_state(state)
+    n_tp = sum(1 for leaf in jax.tree_util.tree_leaves(task2.state["params"])
+               if "model" in str(getattr(leaf.sharding, "spec", "")))
+    assert n_tp > 0, "restore must re-apply tensor shardings"
+    ret = task2.training_step(batch, 6, 0)
+    assert ret is not None and np.isfinite(float(ret[0]))
