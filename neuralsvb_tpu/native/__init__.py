@@ -20,7 +20,12 @@ def _build_lib() -> str | None:
     out = os.path.join(_HERE, "libnsvb_native.so")
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", src, "-o", out]
+    # portable flags by default (the .so is never checked in; a committed
+    # -march=native binary could SIGILL on a different host). Opt into
+    # host-specific codegen with NSVB_NATIVE_MARCH=native.
+    march = os.environ.get("NSVB_NATIVE_MARCH", "")
+    extra = [f"-march={march}"] if march else []
+    cmd = ["g++", "-O3", *extra, "-shared", "-fPIC", "-std=c++17", src, "-o", out]
     try:
         subprocess.check_call(cmd)
         return out
