@@ -17,9 +17,14 @@ import numpy as np
 from .common import BatchNorm1d, dense
 
 
-def rel_positional_encoding(T: int, dim: int) -> np.ndarray:
-    """Reversed (T-1 ... 0) sinusoidal table, ESPnet RelPositionalEncoding."""
-    pos = np.arange(T - 1, -1, -1.0)[:, None]
+def rel_positional_encoding(T: int, dim: int, max_len: int = 5000) -> np.ndarray:
+    """ESPnet (legacy) RelPositionalEncoding table: the module builds a
+    REVERSED table of length max(max_len, T) — positions L-1 ... 0 — and
+    slices the first T rows, so the effective positions are L-1 ... L-T
+    (reference: modules/commons/espnet_positional_embedding.py:23-45,100-112;
+    parity verified in tests/test_parity_reference.py)."""
+    L = max(max_len, T)
+    pos = np.arange(L - 1, -1, -1.0)[:T, None]
     div = np.exp(np.arange(0, dim, 2) * -(math.log(10000.0) / dim))
     pe = np.zeros((T, dim), np.float32)
     pe[:, 0::2] = np.sin(pos * div)
