@@ -27,12 +27,17 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt
-    for key in ("state_dict", "generator", "model", "model_gen"):
-        if isinstance(state, dict) and key in state:
-            state = state[key]
-    # nested e.g. {'state_dict': {'model_gen': ...}}
-    if isinstance(state, dict) and "model_gen" in state:
-        state = state["model_gen"]
+    # unwrap nested containers to fixpoint: covers our {'state_dict':
+    # {'model_gen': ...}} and the OFFICIAL ParallelWaveGAN format
+    # {'model': {'generator': ...}} (reference: vocoders/pwg.py:30)
+    changed = True
+    while changed and isinstance(state, dict):
+        changed = False
+        for key in ("state_dict", "model", "model_gen", "generator"):
+            if key in state and isinstance(state[key], dict):
+                state = state[key]
+                changed = True
+                break
     return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
             for k, v in state.items() if hasattr(v, "shape")}
 
@@ -397,15 +402,42 @@ def convert_global_latent_map(sd, prefix):
     return params, stats
 
 
-def convert_svbvae_mle(ckpt_path: str, fvae_enc_layers=8, fvae_dec_layers=4,
-                       asr_enc_layers=2, asr_dec_layers=2):
-    """MleSVBVAE (svb_vae.py:251-312) -> our models/svb_vae.py SVBVAE('mle').
-    Returns (params, batch_stats)."""
-    sd = fold_weight_norm(load_state_dict(ckpt_path))
-    # strip the reference's top-level 'model.' prefix if present
-    if any(k.startswith("model.") for k in sd):
-        sd = {k[len("model."):] if k.startswith("model.") else k: v
-              for k, v in sd.items()}
+def convert_global_fvae(sd, prefix, fvae_enc_layers=8, fvae_dec_layers=4):
+    """vae_models.py GlobalFVAE -> our models/fvae.py FVAE(global_latent=True).
+    Returns (params, batch_stats). ``sd`` must have weight norm folded."""
+    vae, vae_stats = {}, {}
+    vae["g_pre_0"] = conv1d_to_flax(sd[f"{prefix}.g_pre_net.0.weight"],
+                                    sd.get(f"{prefix}.g_pre_net.0.bias"))
+    enc = {"pre_0": conv1d_to_flax(sd[f"{prefix}.encoder.pre_net.0.weight"],
+                                   sd.get(f"{prefix}.encoder.pre_net.0.bias")),
+           "wn": convert_wn(sd, f"{prefix}.encoder.wn", fvae_enc_layers),
+           "out_proj": conv1d_to_flax(sd[f"{prefix}.encoder.out_proj.weight"],
+                                      sd.get(f"{prefix}.encoder.out_proj.bias"))}
+    enc_stats = {}
+    # poolings Sequential: conv@0, ReLU@1, BN@2, conv@3, ReLU@4, BN@5, conv@6
+    for i, ci in enumerate((0, 3, 6)):
+        enc[f"pool_{i}"] = conv1d_to_flax(
+            sd[f"{prefix}.encoder.poolings.{ci}.weight"],
+            sd.get(f"{prefix}.encoder.poolings.{ci}.bias"))
+    for i, bi in enumerate((2, 5)):
+        bp, bs = _bn_split(sd, f"{prefix}.encoder.poolings.{bi}")
+        enc[f"pool_bn_{i}"] = bp
+        enc_stats[f"pool_bn_{i}"] = bs
+    vae["encoder"] = enc
+    vae_stats["encoder"] = enc_stats
+    dec = {"pre_0": convt1d_to_flax(sd[f"{prefix}.decoder.pre_net.0.weight"],
+                                    sd.get(f"{prefix}.decoder.pre_net.0.bias")),
+           "wn": convert_wn(sd, f"{prefix}.decoder.wn", fvae_dec_layers),
+           "out_proj": conv1d_to_flax(sd[f"{prefix}.decoder.out_proj.weight"],
+                                      sd.get(f"{prefix}.decoder.out_proj.bias"))}
+    vae["decoder"] = dec
+    return vae, vae_stats
+
+
+def convert_svbvae_mle_sd(sd, fvae_enc_layers=8, fvae_dec_layers=4,
+                          asr_enc_layers=2, asr_dec_layers=2):
+    """MleSVBVAE (svb_vae.py:251-312) state_dict (weight norm folded) -> our
+    models/svb_vae.py SVBVAE('mle'). Returns (params, batch_stats)."""
     params, stats = {}, {}
     params["pitch_embed"] = {"Embed_0": {"embedding": sd["pitch_embed.weight"]}}
     params["pitch_encoder"] = convert_conv_stacks(sd, "pitch_encoder", 3)
@@ -424,35 +456,23 @@ def convert_svbvae_mle(ckpt_path: str, fvae_enc_layers=8, fvae_dec_layers=4,
     params["spk_embed_proj"] = _linear(sd, "spk_embed_proj")
     params["encoded_embed_proj"] = _linear(sd, "encoded_embed_proj")
 
-    vae, vae_stats = {}, {}
-    vae["g_pre_0"] = conv1d_to_flax(sd["vae_model.g_pre_net.0.weight"],
-                                    sd.get("vae_model.g_pre_net.0.bias"))
-    enc = {"pre_0": conv1d_to_flax(sd["vae_model.encoder.pre_net.0.weight"],
-                                   sd.get("vae_model.encoder.pre_net.0.bias")),
-           "wn": convert_wn(sd, "vae_model.encoder.wn", fvae_enc_layers),
-           "out_proj": conv1d_to_flax(sd["vae_model.encoder.out_proj.weight"],
-                                      sd.get("vae_model.encoder.out_proj.bias"))}
-    enc_stats = {}
-    # poolings Sequential: conv@0, ReLU@1, BN@2, conv@3, ReLU@4, BN@5, conv@6
-    for i, ci in enumerate((0, 3, 6)):
-        enc[f"pool_{i}"] = conv1d_to_flax(
-            sd[f"vae_model.encoder.poolings.{ci}.weight"],
-            sd.get(f"vae_model.encoder.poolings.{ci}.bias"))
-    for i, bi in enumerate((2, 5)):
-        bp, bs = _bn_split(sd, f"vae_model.encoder.poolings.{bi}")
-        enc[f"pool_bn_{i}"] = bp
-        enc_stats[f"pool_bn_{i}"] = bs
-    vae["encoder"] = enc
-    vae_stats["encoder"] = enc_stats
-    dec = {"pre_0": convt1d_to_flax(sd["vae_model.decoder.pre_net.0.weight"],
-                                    sd.get("vae_model.decoder.pre_net.0.bias")),
-           "wn": convert_wn(sd, "vae_model.decoder.wn", fvae_dec_layers),
-           "out_proj": conv1d_to_flax(sd["vae_model.decoder.out_proj.weight"],
-                                      sd.get("vae_model.decoder.out_proj.bias"))}
-    vae["decoder"] = dec
+    vae, vae_stats = convert_global_fvae(sd, "vae_model",
+                                         fvae_enc_layers, fvae_dec_layers)
     params["vae_model"] = vae
     stats["vae_model"] = vae_stats
     zp, zs = convert_global_latent_map(sd, "z_mapping_function")
     params["z_mapping_function"] = zp
     stats["z_mapping_function"] = zs
     return params, stats
+
+
+def convert_svbvae_mle(ckpt_path: str, fvae_enc_layers=8, fvae_dec_layers=4,
+                       asr_enc_layers=2, asr_dec_layers=2):
+    """Checkpoint-file entry point for :func:`convert_svbvae_mle_sd`."""
+    sd = fold_weight_norm(load_state_dict(ckpt_path))
+    # strip the reference's top-level 'model.' prefix if present
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):] if k.startswith("model.") else k: v
+              for k, v in sd.items()}
+    return convert_svbvae_mle_sd(sd, fvae_enc_layers, fvae_dec_layers,
+                                 asr_enc_layers, asr_dec_layers)

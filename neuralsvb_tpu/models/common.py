@@ -201,17 +201,32 @@ class MultiheadAttention(nn.Module):
     """Dot-product MHA with optional key-padding and additive attn masks.
 
     Functional replacement for the fairseq-style attention the reference
-    carries (reference: common_layers.py:167-485) minus incremental state
-    (autoregressive decode uses full-sequence causal masks under jit).
+    carries (reference: common_layers.py:167-485), including its incremental
+    state for autoregressive decode — expressed TPU-natively as an explicit
+    functional k/v cache (``init_cache`` + ``cache=`` kwarg) so single-step
+    decode composes with ``lax.scan`` instead of mutating module state.
     Layout: [B, T, C].
     """
     num_heads: int
     qkv_bias: bool = False
     dropout: float = 0.0
 
+    @staticmethod
+    def init_cache(batch: int, max_len: int, channels: int, num_heads: int,
+                   dtype=jnp.float32):
+        """Empty k/v cache for incremental decode (the reference's
+        'incremental_state' dict, common_layers.py:231-239,300-324)."""
+        dh = channels // num_heads
+        return {"k": jnp.zeros((batch, num_heads, max_len, dh), dtype),
+                "v": jnp.zeros((batch, num_heads, max_len, dh), dtype),
+                "idx": jnp.zeros((), jnp.int32)}
+
     @nn.compact
     def __call__(self, query, key, value, key_padding_mask=None, attn_mask=None,
-                 train: bool = False):
+                 train: bool = False, cache=None):
+        """With ``cache``: query/key/value are one step [B, 1, C]; the new
+        k/v are appended at cache['idx'], attention covers the filled prefix,
+        and the return value is (out, weights, new_cache)."""
         C = query.shape[-1]
         H = self.num_heads
         Dh = C // H
@@ -224,6 +239,16 @@ class MultiheadAttention(nn.Module):
             return x.reshape(x.shape[0], x.shape[1], H, Dh).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
+        if cache is not None:
+            idx = cache["idx"]
+            k = jax.lax.dynamic_update_slice(cache["k"], k, (0, 0, idx, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v, (0, 0, idx, 0))
+            cache = {"k": k, "v": v, "idx": idx + query.shape[1]}
+            # mask out the unfilled suffix of the cache
+            pos = jnp.arange(k.shape[2])
+            prefix_mask = pos[None, :] > idx + query.shape[1] - 1
+            key_padding_mask = (prefix_mask if key_padding_mask is None
+                                else key_padding_mask | prefix_mask)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         if attn_mask is not None:
@@ -237,6 +262,8 @@ class MultiheadAttention(nn.Module):
         out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(query.shape[0], query.shape[1], C)
         out = dense(C, use_bias=self.qkv_bias, name="out_proj")(out)
+        if cache is not None:
+            return out, weights, cache
         return out, weights
 
 

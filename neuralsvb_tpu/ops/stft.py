@@ -155,3 +155,39 @@ def istft_np(spec: np.ndarray, hop_size: int, win_size: int) -> np.ndarray:
         wsum[s:s + n_fft] += window ** 2
     out = out / np.maximum(wsum, 1e-10)
     return out[n_fft // 2: -(n_fft // 2)]
+
+
+def mel_spectrogram_hifigan(y: np.ndarray, hp: dict, center: bool = False):
+    """HiFiGAN-style torch-mel frontend (reference:
+    modules/hifigan/mel_utils.py:45-80): clamp to [-1,1], reflect-pad by
+    (n_fft - hop)/2, uncentered STFT with a zero-padded hann(win_size)
+    window, Slaney mel, natural-log compression with 1e-5 clip.
+
+    y: [B, L] or [L] float waveform -> [B, num_mels, T'] (reference layout).
+    The alternate frontend the reference keeps around for official HiFiGAN
+    checkpoints (usage commented out at vocoders/hifigan.py:71-76)."""
+    from .mel_filters import mel_filterbank
+
+    n_fft = hp["fft_size"]
+    hop = hp["hop_size"]
+    win = hp["win_size"]
+    y = np.atleast_2d(np.asarray(y, np.float32))
+    y = np.clip(y, -1.0, 1.0)
+    pad = int((n_fft - hop) / 2)
+    y = np.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+
+    window = np.zeros(n_fft)
+    lpad = (n_fft - win) // 2
+    window[lpad:lpad + win] = hann_window(win)
+
+    if center:
+        y = np.pad(y, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+    n_frames = 1 + (y.shape[1] - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = y[:, idx] * window  # [B, T', n_fft]
+    spec = np.abs(np.fft.rfft(frames, axis=-1))  # [B, T', n_fft//2+1]
+    spec = np.sqrt(spec ** 2 + 1e-9)
+    basis = mel_filterbank(hp["audio_sample_rate"], n_fft,
+                           hp["audio_num_mel_bins"], hp["fmin"], hp["fmax"])
+    mel = np.einsum("mf,btf->bmt", basis, spec)
+    return np.log(np.clip(mel, 1e-5, None)).astype(np.float32)

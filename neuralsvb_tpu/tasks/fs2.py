@@ -215,7 +215,9 @@ class FastSpeech2Task(AdversarialTaskBase):
 
     # ------------------------------------------------------------------
     def train_dataloader(self, n_devices=None):
-        ds = self.dataset_cls(hparams["train_set_name"], shuffle=True)
+        from ..data.datasets import maybe_concat_dataset
+        ds = maybe_concat_dataset(self.dataset_cls,
+                                  hparams["train_set_name"], shuffle=True)
         return self.build_dataloader(ds, True, hparams["max_tokens"],
                                      hparams["max_sentences"],
                                      endless=hparams["endless_ds"],

@@ -282,7 +282,10 @@ class HifiGanTask(BaseTask):
 class PWGTask(HifiGanTask):
     """Parallel WaveGAN vocoder training: multi-resolution STFT loss +
     single-discriminator LSGAN (the reference ships PWG's losses/optimizers
-    as support code but no task — restored here; RAdam is replaced by Adam)."""
+    as support code but no task — restored here). Optimizer defaults to
+    RAdam (reference: modules/parallel_wavegan/optimizers/radam.py:1-91,
+    parity-tested in tests/test_parity_reference.py); set
+    ``vocoder_optimizer: adam`` to fall back."""
 
     @staticmethod
     def _stft_scales():
@@ -317,12 +320,15 @@ class PWGTask(HifiGanTask):
         dv = self.disc.init(jax.random.PRNGKey(1), jnp.zeros((1, frames * hop)))
         state = {"params": gv["params"], "disc": dv["params"]}
         b1, b2 = 0.9, 0.999
+        scale = (optax.scale_by_adam
+                 if hp.get("vocoder_optimizer", "radam") == "adam"
+                 else optax.scale_by_radam)
         self.tx_gen = optax.chain(
             optax.clip_by_global_norm(hp.get("generator_grad_norm", 10)),
-            optax.scale_by_adam(b1=b1, b2=b2))
+            scale(b1=b1, b2=b2))
         self.tx_disc = optax.chain(
             optax.clip_by_global_norm(hp.get("discriminator_grad_norm", 1)),
-            optax.scale_by_adam(b1=b1, b2=b2))
+            scale(b1=b1, b2=b2))
         gsp = hp.get("generator_scheduler_params", {"step_size": 200000,
                                                     "gamma": 0.5})
         dsp = hp.get("discriminator_scheduler_params", gsp)

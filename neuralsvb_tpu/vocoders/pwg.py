@@ -45,7 +45,7 @@ def load_pwg(base_dir: str, hp: dict):
                               .get("upsample_scales", (4, 4, 4, 4))),
         use_pitch_embed=gen_params.get("use_pitch_embed", False),
     )
-    params = None
+    params, scaler = None, None
     native = os.path.join(base_dir, "params.msgpack")
     if os.path.exists(native):
         from flax import serialization
@@ -58,7 +58,32 @@ def load_pwg(base_dir: str, hp: dict):
         if torch_ckpts:
             from ..convert.torch2jax import convert_pwg
             params = convert_pwg(torch_ckpts[-1], model)
-    return model, params, config
+            scaler = _load_official_stats(base_dir, torch_ckpts[-1],
+                                          config.get("format", "hdf5"))
+    return model, params, config, scaler
+
+
+def _load_official_stats(base_dir, ckpt_path, fmt):
+    """Official ParallelWaveGAN checkpoints (no 'state_dict' key) come with a
+    feature scaler in stats.h5 (mean/scale) or stats.npy; custom checkpoints
+    don't use one (reference: vocoders/pwg.py:28-38, read_hdf5 at
+    modules/parallel_wavegan/utils/utils.py:39-63)."""
+    import torch
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        return None  # custom format: features are already log-mels, no scaler
+    h5 = os.path.join(base_dir, "stats.h5")
+    npy = os.path.join(base_dir, "stats.npy")
+    if fmt == "hdf5" and os.path.exists(h5):
+        import h5py
+        with h5py.File(h5, "r") as f:
+            return (np.asarray(f["mean"], np.float32),
+                    np.asarray(f["scale"], np.float32))
+    if os.path.exists(npy):
+        stats = np.load(npy)
+        return (np.asarray(stats[0], np.float32),
+                np.asarray(stats[1], np.float32))
+    return None
 
 
 def _init(model):
@@ -76,7 +101,7 @@ class PWG(BaseVocoder):
         hp = hp if hp is not None else dict(global_hparams)
         self.hp = hp
         base_dir = hp.get("vocoder_ckpt", "")
-        self.model, self.params, self.config = load_pwg(base_dir, hp)
+        self.model, self.params, self.config, self.scaler = load_pwg(base_dir, hp)
         if self.params is None:
             print(f"| WARNING: no PWG checkpoint under '{base_dir}'; random init.")
             self.params = _init(self.model)["params"]
@@ -86,6 +111,9 @@ class PWG(BaseVocoder):
 
     def spec2wav(self, mel, f0=None, **kwargs):
         mel = np.asarray(mel, np.float32)
+        if self.scaler is not None:  # official-ckpt feature normalization
+            mean, scale = self.scaler
+            mel = (mel - mean) / scale
         T = mel.shape[0]
         hop = int(np.prod(self.model.upsample_scales))
         ctx = self.model.aux_context_window

@@ -277,3 +277,46 @@ def test_binarize_multiprocess_workers(tmp_path):
     for i in range(len(ds)):
         item = ds[i]
         assert item["mel"].shape[1] == 80 and (np.asarray(item["f0"]) > 0).any()
+
+
+def test_base_concat_dataset(binarized_dir):
+    """BaseConcatDataset: multi-dataset training surface (reference:
+    tasks/base_task.py:99-128)."""
+    root, hp = binarized_dir
+    from neuralsvb_tpu.hparams import hparams
+    hparams.clear()
+    hparams.update(hp)
+    hparams.update({"max_frames": 400, "frames_multiple": 4,
+                    "max_input_tokens": 1550, "use_spk_embed": False,
+                    "use_spk_id": False, "sort_by_len": True,
+                    "pitch_norm": "standard", "use_uv": True,
+                    "use_pitch_embed": True, "infer": False,
+                    "num_test_samples": 0, "min_frames": 0,
+                    "normalize_pitch": False, "pitch_type": "frame",
+                    "seed": 1234})
+    from neuralsvb_tpu.data.datasets import (BaseConcatDataset,
+                                             MultiSpkEmbDataset,
+                                             maybe_concat_dataset)
+    d1 = MultiSpkEmbDataset("train", shuffle=True)
+    d2 = MultiSpkEmbDataset("train", shuffle=True)
+    cat = BaseConcatDataset([d1, d2])
+    assert len(cat) == len(d1) + len(d2)
+    assert cat.sizes == d1.sizes + d2.sizes
+    # index space spans both members; items round-trip to member items
+    item_lo, item_hi = cat[0], cat[len(d1)]
+    np.testing.assert_array_equal(item_lo["mel"], d1[0]["mel"])
+    np.testing.assert_array_equal(item_hi["mel"], d2[0]["mel"])
+    # shared collater + batching metadata compose
+    idxs = cat.ordered_indices()
+    assert sorted(idxs) == list(range(len(cat)))
+    batch = cat.collater([cat[i] for i in idxs[:3]])
+    assert batch["mels"].shape[0] == 3
+    assert cat.size(0) == d1.size(0)
+    # hparams hook: binary_data_dirs builds the concat automatically
+    bin_dir = str(root / "binary")
+    hparams["binary_data_dirs"] = [bin_dir, bin_dir]
+    ds = maybe_concat_dataset(MultiSpkEmbDataset, "train", shuffle=True)
+    assert isinstance(ds, BaseConcatDataset) and len(ds) == 2 * len(d1)
+    hparams["binary_data_dirs"] = []
+    ds = maybe_concat_dataset(MultiSpkEmbDataset, "train", shuffle=True)
+    assert isinstance(ds, MultiSpkEmbDataset)

@@ -170,3 +170,32 @@ def test_discriminator_conditional_branch():
     out2 = d.apply(v, x, cond * 10, rngs={"disc": jax.random.PRNGKey(4)})
     assert not np.allclose(np.asarray(out["y_c"]), np.asarray(out2["y_c"])), \
         "condition must influence the conditional discriminator"
+
+
+def test_mha_incremental_decode():
+    """Incremental k/v-cache decode equals full-sequence causal attention
+    (the reference's fairseq incremental state, common_layers.py:231-324,
+    expressed as an explicit functional cache)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from neuralsvb_tpu.models.common import MultiheadAttention, causal_mask
+
+    B, T, C, H = 2, 10, 16, 4
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, T, C).astype(np.float32)
+    mha = MultiheadAttention(H)
+    variables = mha.init(jax.random.PRNGKey(0), x, x, x)
+
+    mask = causal_mask(T, jnp.float32)[None, None]
+    full, _ = mha.apply(variables, x, x, x, attn_mask=mask)
+
+    cache = MultiheadAttention.init_cache(B, T, C, H)
+    steps = []
+    for t in range(T):
+        xt = x[:, t:t + 1]
+        out, _, cache = mha.apply(variables, xt, xt, xt, cache=cache)
+        steps.append(out)
+    inc = jnp.concatenate(steps, axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(inc),
+                               atol=1e-5, rtol=1e-5)

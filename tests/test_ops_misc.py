@@ -81,3 +81,25 @@ def test_cwt_shapes_and_inverse():
     tgt = (lf0 - lf0.mean()) / lf0.std()
     corr = np.corrcoef(rec, tgt)[0, 1]
     assert corr > 0.8, corr
+
+
+def test_world_mcep_helpers():
+    """WORLD/mcep helpers (reference: utils/pitch_utils.py:17-127)."""
+    from neuralsvb_tpu.ops.pitch_utils import (b2mc, formant_enhancement,
+                                               mc2b, to_f0, to_lf0)
+    f0 = np.array([0.0, 120.0, 0.0, 440.0], np.float64)
+    lf0 = to_lf0(f0.copy())
+    assert lf0[0] == -1.0e10 and np.isclose(lf0[1], np.log(120.0))
+    back = to_f0(lf0)
+    np.testing.assert_allclose(back, f0, rtol=1e-9)
+
+    rng = np.random.RandomState(0)
+    mc = rng.randn(5, 60)
+    # mc2b/b2mc are exact inverses
+    np.testing.assert_allclose(b2mc(mc2b(mc)), mc, atol=1e-12)
+    # beta=0 formant enhancement is the identity
+    np.testing.assert_allclose(formant_enhancement(mc.copy(), 0.0, 22050),
+                               mc, atol=1e-12)
+    out = formant_enhancement(mc.copy(), 0.3, 22050)
+    assert out.shape == mc.shape and np.isfinite(out).all()
+    assert not np.allclose(out, mc)

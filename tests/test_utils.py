@@ -74,3 +74,28 @@ def test_mcd_eval_dirs(tmp_path, capsys):
     np.save(b / "item0.npy",
             np.load(a / "item0.npy") + 0.3 * rng.randn(50, 80))
     assert evaluate_dirs(str(a), str(b)) > 0.01
+
+
+def test_zh_g2pm_core():
+    """Pure core of the zh_g2pM pipeline (reference: zh_g2pM.py:23-68),
+    driven with a synthetic g2pM transcription (package absent in env)."""
+    from neuralsvb_tpu.data.txt_processors import (get_txt_processor_cls,
+                                                   split_shenmu,
+                                                   zh_g2pm_phoneme_seq)
+    assert split_shenmu("zhang1") == ["zh", "ang1"]
+    assert split_shenmu("an4") == ["an4"]          # no initial
+    assert split_shenmu("a") == ["a"]              # single letter stays
+    assert split_shenmu("shi4") == ["sh", "i4"]
+
+    # "他来到了" as 2 jieba words: 他 / 来到了  (boundaries become '#')
+    ph_list = ["ta1", "lai2", "dao4", "le5"]
+    seg_list = "他#来到了"
+    phs = zh_g2pm_phoneme_seq(ph_list, seg_list, use_tone=True)
+    assert phs == ["|", "t", "a1", "#", "l", "ai2", "|", "d", "ao4", "|",
+                   "l", "e5"]
+    # residual hanzi goes through the pinyin callback
+    phs2 = zh_g2pm_phoneme_seq(["他"], "他", True,
+                               pinyin_fn=lambda p, t: "ta1")
+    assert phs2 == ["|", "t", "a1"]
+    # registry carries the processor under the reference name
+    assert get_txt_processor_cls("zh_g2pM") is not None
