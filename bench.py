@@ -105,10 +105,82 @@ def bench_e2e_svb(n_frames: int = 1536, iters: int = 5, warmup: int = 2,
     return batch / dt, dt / (audio_sec * batch), audio_sec
 
 
+def bench_train_step(n_frames: int = 1536, batch: int = 12, iters: int = 5):
+    """NSVB adversarial training step time at flagship dims (BASELINE.md row
+    'NSVB adversarial training step time'): one fused phase-2 iteration
+    (generator+discriminator in a single dispatch) and one phase-3 latent-map
+    step. Reports wall ms/iter, device-busy ms/iter (xplane trace; None if
+    profiling is unavailable on the backend), and audio-seconds/step."""
+    import tempfile
+
+    import jax
+    from __graft_entry__ import _batch, _flagship_hparams
+    from neuralsvb_tpu.hparams import hparams
+    from neuralsvb_tpu.utils.profiling import (device_busy_from_xplane,
+                                               profiler_trace)
+
+    hp = _flagship_hparams()
+    hp.update(mesh_shape="data:1", phase_2_steps=10 ** 6)
+    hparams.clear()
+    hparams.update(hp)
+    from neuralsvb_tpu.tasks.svb_vae_task import SVBVAEMleTask
+    task = SVBVAEMleTask()
+    task.build_model()
+    b = _batch(batch, n_frames, n_frames)
+    b["nsamples"] = batch
+    audio_sec_per_step = batch * n_frames * HOP / SR
+
+    def cycle(step):
+        for opt in range(task.num_optimizers):
+            task.training_step(b, step, opt)
+
+    out = {}
+    for name, step in [("phase2", 5), ("phase3", 10 ** 6 + 5)]:
+        cycle(step)  # compile
+        jax.block_until_ready(task.state)
+        wall_t0 = time.perf_counter()
+        busy = {}
+        try:
+            trace_dir = tempfile.mkdtemp(prefix="nsvb_bench_")
+            with profiler_trace(trace_dir):
+                for _ in range(iters):
+                    cycle(step)
+                jax.block_until_ready(task.state)
+            busy = device_busy_from_xplane(trace_dir)
+        except Exception:  # profiling unsupported on this backend
+            for _ in range(iters):
+                cycle(step)
+            jax.block_until_ready(task.state)
+        wall = (time.perf_counter() - wall_t0) / iters
+        dev = max((v for k, v in busy.items() if "host" not in k.lower()),
+                  default=max(busy.values(), default=0.0)) / iters
+        out[f"train_{name}_wall_ms"] = round(wall * 1e3, 1)
+        out[f"train_{name}_device_ms"] = round(dev * 1e3, 1) if dev else None
+        out[f"train_{name}_audio_sec_per_step"] = round(audio_sec_per_step, 1)
+
+    # fused K-step cycle (one lax.scan dispatch per K iterations) — the
+    # production dispatch mode (steps_per_dispatch hparam)
+    K = iters
+    for name, step in [("phase2", 5), ("phase3", 10 ** 6 + 5)]:
+        batches = [b] * K
+        task.training_cycle(batches, step)  # compile
+        jax.block_until_ready(task.state)
+        t0 = time.perf_counter()
+        task.training_cycle(batches, step + K)
+        jax.block_until_ready(task.state)
+        wall = (time.perf_counter() - t0) / K
+        out[f"train_{name}_cycle_wall_ms"] = round(wall * 1e3, 1)
+    return out
+
+
 def main():
     rtf, audio_sec, dt = bench_vocoder_rtf()
     utt_per_sec, e2e_rtf, e2e_audio = bench_e2e_svb()
     utt_per_sec_b8, e2e_rtf_b8, _ = bench_e2e_svb(iters=3, warmup=2, batch=8)
+    try:
+        train = bench_train_step()
+    except Exception as e:  # noqa: BLE001 — never lose the primary metric
+        train = {"train_bench_error": f"{type(e).__name__}: {e}"[:200]}
     result = {
         "metric": "hifigan_nsf_vocoder_rtf_per_chip",
         "value": round(rtf, 6),
@@ -121,6 +193,7 @@ def main():
                    "e2e_svb_utterances_per_sec_b8": round(utt_per_sec_b8, 2),
                    "e2e_svb_rtf_b8": round(e2e_rtf_b8, 6),
                    "e2e_utt_audio_sec": round(e2e_audio, 2),
+                   **train,
                    "device": str(__import__("jax").devices()[0])},
     }
     print(json.dumps(result))

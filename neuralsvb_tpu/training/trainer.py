@@ -29,6 +29,20 @@ from ..tasks.base_task import tensors_to_scalars
 from .checkpoint import restore_checkpoint, save_checkpoint
 
 
+def window_crosses_boundary(task, start: int, cur_len: int,
+                            val_check_interval: int, max_updates: int) -> bool:
+    """The buffered K-step window covers steps [start, start+cur_len); it
+    must flush when the NEXT step would cross a validation / phase /
+    disc-start boundary or run past max_updates."""
+    end = start + cur_len
+    if end % val_check_interval == 0 or end >= max_updates:
+        return True
+    if task.phase_and_ways(start)[0] != task.phase_and_ways(end)[0]:
+        return True
+    return (hasattr(task, "_disc_start")
+            and task._disc_start(start + 1) != task._disc_start(end + 1))
+
+
 class Trainer:
     def __init__(self, work_dir: str, val_check_interval=2000, tb_log_interval=100,
                  max_updates=1000000, num_ckpt_keep=3, save_best=True,
@@ -111,11 +125,58 @@ class Trainer:
                     dynamic_ncols=True, unit="step",
                     disable=not self.is_main or not sys.stdout.isatty())
         task.on_epoch_start()
+
+        # K-step fused dispatch (steps_per_dispatch > 1): buffer same-shape
+        # batches and run them as one jitted lax.scan cycle — amortizes the
+        # per-step host/tunnel dispatch overhead (VERDICT r1 #4). Windows
+        # never cross a phase / disc-start / validation boundary; ragged
+        # windows (shape change, boundary) fall back to per-step dispatch.
+        K = int(hparams.get("steps_per_dispatch", 1) or 1)
+        use_cycle = K > 1 and hasattr(task, "training_cycle")
+        window, window_sig = [], None
+
+        def step_one(batch):
+            logs = {}
+            for opt_idx in range(task.num_optimizers):
+                ret = task.training_step(batch, self.global_step, opt_idx)
+                if ret is None:
+                    continue
+                total_loss, log_outputs = ret
+                logs.update(log_outputs)
+                logs[f"total_loss_{opt_idx}"] = total_loss
+            self.global_step += 1
+            task.global_step = self.global_step
+            pbar.update(1)
+            return logs
+
+        def flush_window():
+            nonlocal window
+            if not window:
+                return {}
+            if len(window) == K:  # full window -> one fused dispatch
+                cycle_logs = task.training_cycle(window, self.global_step)
+                self.global_step += K
+                task.global_step = self.global_step
+                pbar.update(K)
+                logs = {k: v[-1] for k, v in cycle_logs.items()}
+            else:  # ragged window -> per-step (avoids scan-length recompiles)
+                logs = {}
+                for b in window:
+                    logs = step_one(b)
+            window = []
+            return logs
+
+        def window_must_flush(cur_len):
+            return window_crosses_boundary(task, self.global_step, cur_len,
+                                           self.val_check_interval,
+                                           self.max_updates)
+
         try:
             while self.global_step < self.max_updates:
                 try:
                     batch = next(train_loader)
                 except StopIteration:
+                    flush_window()
                     task.on_epoch_end()
                     self.current_epoch += 1
                     task.current_epoch = self.current_epoch
@@ -129,17 +190,18 @@ class Trainer:
                 # keep losses as device futures; forcing them to host every
                 # step would serialize the pipeline (profiled: device compute
                 # is a fraction of the synced wall time)
-                logs = {}
-                for opt_idx in range(task.num_optimizers):
-                    ret = task.training_step(batch, self.global_step, opt_idx)
-                    if ret is None:
+                if use_cycle:
+                    sig = tuple(sorted(
+                        (k, getattr(v, "shape", None)) for k, v in batch.items()))
+                    if window and sig != window_sig:
+                        logs = flush_window()
+                    window.append(batch)
+                    window_sig = sig
+                    if len(window) < K and not window_must_flush(len(window)):
                         continue
-                    total_loss, log_outputs = ret
-                    logs.update(log_outputs)
-                    logs[f"total_loss_{opt_idx}"] = total_loss
-                self.global_step += 1
-                task.global_step = self.global_step
-                pbar.update(1)
+                    logs = flush_window()
+                else:
+                    logs = step_one(batch)
                 sync_now = (self.global_step % self.tb_log_interval == 0
                             or (logs and self.global_step % 20 == 0
                                 and sys.stdout.isatty()))

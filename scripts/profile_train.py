@@ -70,6 +70,26 @@ def main():
               f"({dev / max(wall, 1e-9) * 100:.0f}% of wall; rest is host "
               f"dispatch / transfer / tunnel)")
 
+    # fused K-step cycle: one lax.scan dispatch per K iterations
+    K = args.steps
+    for name, step in [("gen+disc cycle (phase 2)", 5),
+                       ("map cycle (phase 3)", 10 ** 6 + 5)]:
+        batches = [batch] * K
+        task.training_cycle(batches, step)  # compile
+        jax.block_until_ready(task.state)
+        trace_dir = tempfile.mkdtemp(prefix="nsvb_prof_")
+        t0 = time.perf_counter()
+        with profiler_trace(trace_dir):
+            task.training_cycle(batches, step)
+            jax.block_until_ready(task.state)
+        wall = (time.perf_counter() - t0) / K
+        busy = device_busy_from_xplane(trace_dir)
+        dev = max((v for k, v in busy.items() if "host" not in k.lower()),
+                  default=max(busy.values(), default=0.0)) / K
+        print(f"| {name} K={K}: wall {wall * 1e3:.1f} ms/iter, "
+              f"device busy {dev * 1e3:.1f} ms/iter "
+              f"({dev / max(wall, 1e-9) * 100:.0f}% of wall)")
+
 
 if __name__ == "__main__":
     main()
