@@ -5,9 +5,8 @@
 test:            ## full suite on a virtual 8-device CPU mesh
 	python -m pytest tests/ -q
 
-test-fast:       ## skip the slow end-to-end task suites
-	python -m pytest tests/ -q --ignore=tests/test_tasks2.py \
-	  --ignore=tests/test_task_train.py --ignore=tests/test_fs2_task.py
+test-fast:       ## <3 min: skip the slow (e2e / reference-parity) suites
+	python -m pytest tests/ -q -m "not slow"
 
 bench:           ## one-line JSON benchmark on the attached accelerator
 	python bench.py

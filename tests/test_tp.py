@@ -4,6 +4,8 @@ full 3-optimizer training step on a 2x4 virtual mesh."""
 import jax
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from jax.sharding import PartitionSpec as P
 
 
