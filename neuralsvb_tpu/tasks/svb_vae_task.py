@@ -98,6 +98,35 @@ def mse(x, target_value):
     return ((x - target_value) ** 2).mean()
 
 
+def wire_encode(b: Dict[str, Any]) -> Dict[str, Any]:
+    """Compact host->device wire format for training batches: the axon
+    tunnel moves float16 ~6x faster than float32 (measured 233 vs 36
+    MB/s), and the batch transfer dominates step wall time at flagship
+    dims. Mels quantize to f16 (log10-mels span ~[-10, 2]; f16 keeps
+    ~3-4 significant digits, below mel-estimation noise); pitch tokens
+    (<=255) and alignments (< max_frames 5000) are exact in int16.
+    Decoded back on-device by :func:`wire_decode` — compute stays f32."""
+    out = dict(b)
+    for k in ("mels", "prof_mels"):
+        out[k] = b[k].astype(np.float16)
+    for k in ("pitch", "prof_pitch", "a2p_f0_alignment"):
+        out[k] = b[k].astype(np.int16)
+    return out
+
+
+def wire_decode(b: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of :func:`wire_encode`, traced into the jitted steps
+    (no-op casts when the batch is already f32/int32)."""
+    out = dict(b)
+    for k in ("mels", "prof_mels"):
+        if k in b:
+            out[k] = b[k].astype(jnp.float32)
+    for k in ("pitch", "prof_pitch", "a2p_f0_alignment"):
+        if k in b:
+            out[k] = b[k].astype(jnp.int32)
+    return out
+
+
 class SVBVAETaskBase(BaseTask):
     """Shared machinery; subclasses pick the model variant and loss keys."""
 
@@ -369,6 +398,7 @@ class SVBVAETaskBase(BaseTask):
 
         @partial(jax.jit, donate_argnums=(0,), static_argnums=())
         def gen_step(state, batch, rng, lr):
+            batch = wire_decode(batch)
             k_noise, k_disc = jax.random.split(rng)
 
             def loss_fn(params):
@@ -409,6 +439,7 @@ class SVBVAETaskBase(BaseTask):
     def _make_disc_step(self, ways, disc_on):
         @partial(jax.jit, donate_argnums=(0,))
         def disc_step(state, batch, fakes, rng, lr):
+            batch = wire_decode(batch)
             def loss_fn(disc_params):
                 losses = {}
                 mut_stats = state["disc_batch_stats"]
@@ -455,6 +486,7 @@ class SVBVAETaskBase(BaseTask):
 
         @partial(jax.jit, donate_argnums=(0,))
         def map_step(state, batch, rng, lr):
+            batch = wire_decode(batch)
             k_noise, k_disc = jax.random.split(rng)
 
             def loss_fn(params):
@@ -522,6 +554,8 @@ class SVBVAETaskBase(BaseTask):
         b = self._prep_batch_host(batch, infer)
         if infer:
             return b
+        if hparams.get("wire_dtype", "float16") != "float32":
+            b = wire_encode(b)
         return shard_batch(b, self.mesh)
 
     def _make_gen_disc_step(self, ways, disc_on):
@@ -638,6 +672,8 @@ class SVBVAETaskBase(BaseTask):
             "cycle window crosses disc_start_steps"
         run_disc = disc_on and hparams["disc_interval"] == 1
         hosts = [self._prep_batch_host(b) for b in batches]
+        if hparams.get("wire_dtype", "float16") != "float32":
+            hosts = [wire_encode(h) for h in hosts]
         stacked = {k: np.stack([h[k] for h in hosts]) for k in hosts[0]}
         from ..parallel.mesh import stacked_batch_sharding
         sb = stacked_batch_sharding(self.mesh)
@@ -670,6 +706,7 @@ class SVBVAETaskBase(BaseTask):
         if key not in self._step_cache:
             @jax.jit
             def eval_step(params, batch_stats, b, rng):
+                b = wire_decode(b)
                 out = self._apply_model(params, batch_stats, b, ways, rng,
                                         train=False)
                 losses: Dict[str, Any] = {}
