@@ -78,3 +78,50 @@ def test_istft_roundtrip():
     n = min(len(rec), len(wav))
     # ignore edges where COLA is incomplete
     np.testing.assert_allclose(rec[256:n - 256], wav[256:n - 256], atol=1e-6)
+
+
+def _mel_filterbank_scalar(sr, n_fft, n_mels, fmin, fmax):
+    """Independent scalar-loop Slaney filterbank construction (per-filter
+    triangle evaluation straight from the Slaney Auditory Toolbox spec),
+    cross-checking the vectorized production builder in ops/mel_filters.py."""
+    n_bins = 1 + n_fft // 2
+    fft_freqs = np.linspace(0.0, sr / 2.0, n_bins)
+    mel_pts = np.linspace(hz_to_mel_slaney(np.array([fmin]))[0],
+                          hz_to_mel_slaney(np.array([fmax]))[0], n_mels + 2)
+    centers = mel_to_hz_slaney(mel_pts)
+    out = np.zeros((n_mels, n_bins))
+    for m in range(n_mels):
+        lo, mid, hi = centers[m], centers[m + 1], centers[m + 2]
+        for k, f in enumerate(fft_freqs):
+            if lo < f < mid:
+                tri = (f - lo) / (mid - lo)
+            elif mid <= f < hi:
+                tri = (hi - f) / (hi - mid)
+            elif f == mid:
+                tri = 1.0
+            else:
+                tri = 0.0
+            out[m, k] = tri * 2.0 / (hi - lo)
+    return out
+
+
+def test_mel_filterbank_matches_independent_construction():
+    got = mel_filterbank(22050, 512, 80, 50, 11025, dtype=np.float64)
+    want = _mel_filterbank_scalar(22050, 512, 80, 50, 11025)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_mel_filterbank_partition_of_unity():
+    # Exact analytic invariant of Slaney triangles: before area
+    # normalization, adjacent filters cross-fade linearly, so at any FFT
+    # frequency strictly between the first and last triangle centers the
+    # unnormalized weights sum to exactly 1.
+    basis = mel_filterbank(22050, 512, 80, 50, 11025, dtype=np.float64)
+    mel_pts = np.linspace(hz_to_mel_slaney(np.array([50.0]))[0],
+                          hz_to_mel_slaney(np.array([11025.0]))[0], 82)
+    centers = mel_to_hz_slaney(mel_pts)
+    enorm = 2.0 / (centers[2:] - centers[:-2])
+    unnorm = basis / enorm[:, None]
+    fft_freqs = np.linspace(0.0, 11025.0, 257)
+    interior = (fft_freqs > centers[1]) & (fft_freqs < centers[-2])
+    np.testing.assert_allclose(unnorm.sum(0)[interior], 1.0, atol=1e-12)
