@@ -159,16 +159,20 @@ def bench_train_step(n_frames: int = 1536, batch: int = 12, iters: int = 5):
         out[f"train_{name}_audio_sec_per_step"] = round(audio_sec_per_step, 1)
 
     # fused K-step cycle (one lax.scan dispatch per K iterations) — the
-    # production dispatch mode (steps_per_dispatch hparam)
+    # production dispatch mode (steps_per_dispatch hparam). Steady-state
+    # wall over several back-to-back windows: the async dispatch overlaps
+    # window N+1's host pack + transfer with window N's device compute.
     K = iters
+    n_calls = 3
     for name, step in [("phase2", 5), ("phase3", 10 ** 6 + 5)]:
         batches = [b] * K
-        task.training_cycle(batches, step)  # compile
+        task.training_cycle(batches, step)  # compile + first transfer
         jax.block_until_ready(task.state)
         t0 = time.perf_counter()
-        task.training_cycle(batches, step + K)
+        for c in range(n_calls):
+            task.training_cycle(batches, step + (c + 1) * K)
         jax.block_until_ready(task.state)
-        wall = (time.perf_counter() - t0) / K
+        wall = (time.perf_counter() - t0) / (K * n_calls)
         out[f"train_{name}_cycle_wall_ms"] = round(wall * 1e3, 1)
     return out
 

@@ -30,7 +30,12 @@ if _os.environ.get("NSVB_COMPILATION_CACHE", "1") != "0":
                                  _os.path.expanduser("~/.cache/nsvb_xla_cache"))
     try:
         _jax_cc.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax_cc.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Threshold 0 caches even tiny op-by-op (eager) compiles — the test
+        # suite sets it to 0 so repeat runs skip XLA:CPU compilation almost
+        # entirely; CLI runs keep the 1s default (only jitted steps matter).
+        _jax_cc.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(_os.environ.get("NSVB_CACHE_MIN_COMPILE_SECS", "1.0")))
     except Exception:
         pass
 

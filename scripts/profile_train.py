@@ -52,43 +52,43 @@ def main():
         for opt in range(task.num_optimizers):
             task.training_step(batch, step, opt)
 
-    for name, step in [("gen+disc (phase 2)", 5), ("full+map (phase 3)", 10 ** 6 + 5)]:
-        cycle(step)  # compile
-        jax.block_until_ready(task.state)  # drain async work
-        trace_dir = tempfile.mkdtemp(prefix="nsvb_prof_")
+    def measure(run_once, iters_per_call, n_calls):
+        """Wall from an UNPROFILED steady-state loop (profiler start/stop
+        costs seconds through the tunnel and must not pollute the number);
+        device busy from a separate short profiled run."""
+        run_once()  # warm: compile + first un-overlapped transfer
+        jax.block_until_ready(task.state)
         t0 = time.perf_counter()
+        for _ in range(n_calls):
+            run_once()
+        jax.block_until_ready(task.state)
+        wall = (time.perf_counter() - t0) / (n_calls * iters_per_call)
+        trace_dir = tempfile.mkdtemp(prefix="nsvb_prof_")
         with profiler_trace(trace_dir):
-            for _ in range(args.steps):
-                cycle(step)
+            run_once()
             jax.block_until_ready(task.state)
-        wall = (time.perf_counter() - t0) / args.steps
         busy = device_busy_from_xplane(trace_dir)
         dev = max((v for k, v in busy.items() if "host" not in k.lower()),
-                  default=max(busy.values(), default=0.0)) / args.steps
+                  default=max(busy.values(), default=0.0)) / iters_per_call
+        return wall, dev
+
+    for name, step in [("gen+disc (phase 2)", 5), ("full+map (phase 3)", 10 ** 6 + 5)]:
+        wall, dev = measure(lambda: cycle(step), 1, args.steps)
         print(f"| {name}: wall {wall * 1e3:.1f} ms/iter, "
               f"device busy {dev * 1e3:.1f} ms/iter "
-              f"({dev / max(wall, 1e-9) * 100:.0f}% of wall; rest is host "
+              f"(wall/device {wall / max(dev, 1e-9):.2f}x; gap is host "
               f"dispatch / transfer / tunnel)")
 
-    # fused K-step cycle: one lax.scan dispatch per K iterations
+    # fused K-step cycle: one lax.scan dispatch per K iterations; transfers
+    # of window N+1 overlap device compute of window N
     K = args.steps
     for name, step in [("gen+disc cycle (phase 2)", 5),
                        ("map cycle (phase 3)", 10 ** 6 + 5)]:
         batches = [batch] * K
-        task.training_cycle(batches, step)  # compile
-        jax.block_until_ready(task.state)
-        trace_dir = tempfile.mkdtemp(prefix="nsvb_prof_")
-        t0 = time.perf_counter()
-        with profiler_trace(trace_dir):
-            task.training_cycle(batches, step)
-            jax.block_until_ready(task.state)
-        wall = (time.perf_counter() - t0) / K
-        busy = device_busy_from_xplane(trace_dir)
-        dev = max((v for k, v in busy.items() if "host" not in k.lower()),
-                  default=max(busy.values(), default=0.0)) / K
+        wall, dev = measure(lambda: task.training_cycle(batches, step), K, 3)
         print(f"| {name} K={K}: wall {wall * 1e3:.1f} ms/iter, "
               f"device busy {dev * 1e3:.1f} ms/iter "
-              f"({dev / max(wall, 1e-9) * 100:.0f}% of wall)")
+              f"(wall/device {wall / max(dev, 1e-9):.2f}x)")
 
 
 if __name__ == "__main__":

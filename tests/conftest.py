@@ -12,6 +12,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Persist every XLA:CPU compile (even sub-second eager op compiles — model
+# tests run forwards eagerly, so hundreds of tiny compiles dominate the
+# suite's runtime on this 1-core host). Warm runs then mostly skip XLA.
+os.environ.setdefault("NSVB_CACHE_MIN_COMPILE_SECS", "0")
+os.environ.setdefault("NSVB_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
 
 import jax  # noqa: E402
 
