@@ -98,25 +98,64 @@ def mse(x, target_value):
     return ((x - target_value) ** 2).mean()
 
 
-def wire_encode(b: Dict[str, Any]) -> Dict[str, Any]:
-    """Compact host->device wire format for training batches: the axon
-    tunnel moves float16 ~6x faster than float32 (measured 233 vs 36
-    MB/s), and the batch transfer dominates step wall time at flagship
-    dims. Mels quantize to f16 (log10-mels span ~[-10, 2]; f16 keeps
-    ~3-4 significant digits, below mel-estimation noise); pitch tokens
-    (<=255) and alignments (< max_frames 5000) are exact in int16.
-    Decoded back on-device by :func:`wire_decode` — compute stays f32."""
-    out = dict(b)
-    for k in ("mels", "prof_mels"):
-        out[k] = b[k].astype(np.float16)
-    for k in ("pitch", "prof_pitch", "a2p_f0_alignment"):
-        out[k] = b[k].astype(np.int16)
+# Compact host->device wire format for training batches. Two levers, both
+# measured against the remote-chip transport (see README 'Benchmarks'):
+#   1. dtype: f16 mels / i16 indices halve the bytes, and the tunnel also
+#      moves f16 buffers faster per byte (233 vs 36 MB/s). Log10-mels span
+#      ~[-10, 2]; f16 keeps ~3-4 significant digits, below mel-estimation
+#      noise. Pitch tokens (<=255) and alignments (< max_frames 5000) are
+#      exact in int16. Compute stays f32 — decode is traced into the step.
+#   2. packing: every device_put pays ~30-40 ms fixed cost through the
+#      tunnel, so the whole batch ships as ONE uint8 buffer [B, nbytes]
+#      (6 transfers -> 1) and is sliced/bitcast back on device.
+_WIRE_DTYPES = {"mels": np.float16, "prof_mels": np.float16,
+                "pitch": np.int16, "prof_pitch": np.int16,
+                "a2p_f0_alignment": np.int16}
+_COMPUTE_DTYPES = {"<f2": jnp.float32, "<i2": jnp.int32}
+
+
+def wire_pack(b: Dict[str, Any]):
+    """Pack a host batch dict into (uint8 buffer [B, nbytes], static meta).
+    meta = tuple of (key, numpy dtype str, per-example shape)."""
+    B = b["mels"].shape[0]
+    metas, parts = [], []
+    for k in sorted(b):
+        v = np.ascontiguousarray(
+            np.asarray(b[k]).astype(_WIRE_DTYPES.get(k, np.asarray(b[k]).dtype),
+                                    copy=False))
+        metas.append((k, v.dtype.str, v.shape[1:]))
+        parts.append(v.reshape(B, -1).view(np.uint8))
+    return np.concatenate(parts, axis=1), tuple(metas)
+
+
+def wire_unpack(buf, meta):
+    """Traced inverse of :func:`wire_pack`: slice the per-key byte ranges
+    out of the packed buffer, bitcast to the wire dtype, widen to the
+    compute dtype. ``meta`` must be static (hashable) under jit."""
+    out, off = {}, 0
+    B = buf.shape[0]
+    for k, dt, shp in meta:
+        dtype = np.dtype(dt)
+        n = int(np.prod(shp, dtype=np.int64)) if shp else 1
+        nb = n * dtype.itemsize
+        sl = jax.lax.slice_in_dim(buf, off, off + nb, axis=1)
+        if dtype.itemsize > 1:
+            x = jax.lax.bitcast_convert_type(
+                sl.reshape((B, n, dtype.itemsize)), jnp.dtype(dtype))
+        else:
+            x = sl.reshape((B, n))
+        x = x.reshape((B,) + tuple(shp))
+        tgt = _COMPUTE_DTYPES.get(dtype.str)
+        out[k] = x.astype(tgt) if tgt is not None else x
+        off += nb
     return out
 
 
-def wire_decode(b: Dict[str, Any]) -> Dict[str, Any]:
-    """Inverse of :func:`wire_encode`, traced into the jitted steps
-    (no-op casts when the batch is already f32/int32)."""
+def wire_decode(b, meta=None):
+    """Decode a wire batch inside a jitted step: packed buffer (meta given)
+    or plain dict (float32 mode / eval — no-op casts)."""
+    if meta is not None:
+        return wire_unpack(b, meta)
     out = dict(b)
     for k in ("mels", "prof_mels"):
         if k in b:
@@ -396,9 +435,9 @@ class SVBVAETaskBase(BaseTask):
         hp = hparams
         lam_adv = hp["lambda_mel_adv"]
 
-        @partial(jax.jit, donate_argnums=(0,), static_argnums=())
-        def gen_step(state, batch, rng, lr):
-            batch = wire_decode(batch)
+        @partial(jax.jit, donate_argnums=(0,), static_argnames=("meta",))
+        def gen_step(state, batch, rng, lr, meta=None):
+            batch = wire_decode(batch, meta)
             k_noise, k_disc = jax.random.split(rng)
 
             def loss_fn(params):
@@ -437,9 +476,10 @@ class SVBVAETaskBase(BaseTask):
         return gen_step
 
     def _make_disc_step(self, ways, disc_on):
-        @partial(jax.jit, donate_argnums=(0,))
-        def disc_step(state, batch, fakes, rng, lr):
-            batch = wire_decode(batch)
+        @partial(jax.jit, donate_argnums=(0,), static_argnames=("meta",))
+        def disc_step(state, batch, fakes, rng, lr, meta=None):
+            batch = wire_decode(batch, meta)
+
             def loss_fn(disc_params):
                 losses = {}
                 mut_stats = state["disc_batch_stats"]
@@ -484,9 +524,9 @@ class SVBVAETaskBase(BaseTask):
         all_ways = tuple(dict.fromkeys(("a2a", "p2p") + ways))
         kl_or_mle = "mle" if self.variant == "mle" else "kl"
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def map_step(state, batch, rng, lr):
-            batch = wire_decode(batch)
+        @partial(jax.jit, donate_argnums=(0,), static_argnames=("meta",))
+        def map_step(state, batch, rng, lr, meta=None):
+            batch = wire_decode(batch, meta)
             k_noise, k_disc = jax.random.split(rng)
 
             def loss_fn(params):
@@ -555,8 +595,9 @@ class SVBVAETaskBase(BaseTask):
         if infer:
             return b
         if hparams.get("wire_dtype", "float16") != "float32":
-            b = wire_encode(b)
-        return shard_batch(b, self.mesh)
+            buf, meta = wire_pack(b)
+            return shard_batch({"buf": buf}, self.mesh)["buf"], meta
+        return shard_batch(b, self.mesh), None
 
     def _make_gen_disc_step(self, ways, disc_on):
         """Fused generator+discriminator update in ONE dispatch (host dispatch
@@ -566,12 +607,12 @@ class SVBVAETaskBase(BaseTask):
         gen_fn = self._get_step("gen", ways, disc_on)
         disc_fn = self._get_step("disc", ways, disc_on)
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def step(state, b, rng, lr_gen, lr_disc):
+        @partial(jax.jit, donate_argnums=(0,), static_argnames=("meta",))
+        def step(state, b, rng, lr_gen, lr_disc, meta=None):
             k1, k2 = jax.random.split(rng)
             # inner jits inline into this trace; inner donation is a no-op
-            state, gen_losses, fakes = gen_fn(state, b, k1, lr_gen)
-            state, disc_losses = disc_fn(state, b, fakes, k2, lr_disc)
+            state, gen_losses, fakes = gen_fn(state, b, k1, lr_gen, meta=meta)
+            state, disc_losses = disc_fn(state, b, fakes, k2, lr_disc, meta=meta)
             return state, gen_losses, disc_losses
 
         return step
@@ -583,7 +624,7 @@ class SVBVAETaskBase(BaseTask):
         if optimizer_idx == 0:
             if phase == 3:
                 return None
-            b = self._prep_batch(batch)
+            b, meta = self._prep_batch(batch)
             lr = self.sched_gen(step)
             if run_disc:
                 key = ("gen_disc", ways, disc_on)
@@ -591,11 +632,12 @@ class SVBVAETaskBase(BaseTask):
                     self._step_cache[key] = self._make_gen_disc_step(ways, disc_on)
                 lr_d = self.sched_disc(max(step - hparams["disc_start_steps"], 1))
                 self.state, losses, disc_losses = self._step_cache[key](
-                    self.state, b, self._step_rng(step), lr, lr_d)
+                    self.state, b, self._step_rng(step), lr, lr_d, meta=meta)
                 self._pending_disc = (dict(disc_losses), lr_d)
             else:
                 fn = self._get_step("gen", ways, disc_on)
-                self.state, losses, fakes = fn(self.state, b, self._step_rng(step), lr)
+                self.state, losses, fakes = fn(self.state, b, self._step_rng(step),
+                                               lr, meta=meta)
                 self._pending_disc = None
             losses = dict(losses)
             losses["lr_0"] = lr
@@ -611,10 +653,11 @@ class SVBVAETaskBase(BaseTask):
         if optimizer_idx == 2:
             if phase != 3:
                 return None
-            b = self._prep_batch(batch)
+            b, meta = self._prep_batch(batch)
             fn = self._get_step("map", ways, disc_on)
             lr = self.sched_map(step)
-            self.state, losses = fn(self.state, b, self._step_rng(step), lr)
+            self.state, losses = fn(self.state, b, self._step_rng(step), lr,
+                                    meta=meta)
             losses = dict(losses)
             losses["lr_2"] = lr
             return sum(v for k, v in losses.items() if k != "lr_2"), losses
@@ -635,21 +678,23 @@ class SVBVAETaskBase(BaseTask):
             map_fn = self._get_step("map", ways, disc_on)
         dss = hparams["disc_start_steps"]
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def cycle(state, batches, steps, base_rng):
+        @partial(jax.jit, donate_argnums=(0,), static_argnames=("meta",))
+        def cycle(state, batches, steps, base_rng, meta=None):
             def body(state, inp):
                 b, step = inp
                 rng = jax.random.fold_in(base_rng, step)
                 if phase in (1, 2):
                     k1, k2 = jax.random.split(rng)
-                    state, gl, fakes = gen_fn(state, b, k1, self.sched_gen(step))
+                    state, gl, fakes = gen_fn(state, b, k1, self.sched_gen(step),
+                                              meta=meta)
                     out = {f"g/{k}": v for k, v in gl.items()}
                     if disc_fn is not None:
                         lr_d = self.sched_disc(jnp.maximum(step - dss, 1))
-                        state, dl = disc_fn(state, b, fakes, k2, lr_d)
+                        state, dl = disc_fn(state, b, fakes, k2, lr_d, meta=meta)
                         out.update({f"d/{k}": v for k, v in dl.items()})
                 else:
-                    state, ml = map_fn(state, b, rng, self.sched_map(step))
+                    state, ml = map_fn(state, b, rng, self.sched_map(step),
+                                       meta=meta)
                     out = {f"m/{k}": v for k, v in ml.items()}
                 return state, out
 
@@ -672,23 +717,30 @@ class SVBVAETaskBase(BaseTask):
             "cycle window crosses disc_start_steps"
         run_disc = disc_on and hparams["disc_interval"] == 1
         hosts = [self._prep_batch_host(b) for b in batches]
-        if hparams.get("wire_dtype", "float16") != "float32":
-            hosts = [wire_encode(h) for h in hosts]
-        stacked = {k: np.stack([h[k] for h in hosts]) for k in hosts[0]}
         from ..parallel.mesh import stacked_batch_sharding
         sb = stacked_batch_sharding(self.mesh)
-        if jax.process_count() > 1:
-            stacked = {k: jax.make_array_from_process_local_data(sb, v)
-                       for k, v in stacked.items()}
+        if hparams.get("wire_dtype", "float16") != "float32":
+            packed = [wire_pack(h) for h in hosts]
+            meta = packed[0][1]
+            assert all(m == meta for _, m in packed), \
+                "cycle window mixes batch shapes"
+            stacked = np.stack([buf for buf, _ in packed])  # [K, B, nbytes]
         else:
-            stacked = {k: jax.device_put(v, sb) for k, v in stacked.items()}
+            meta = None
+            stacked = {k: np.stack([h[k] for h in hosts]) for k in hosts[0]}
+        if jax.process_count() > 1:
+            put = lambda v: jax.make_array_from_process_local_data(sb, v)
+        else:
+            put = lambda v: jax.device_put(v, sb)
+        stacked = (put(stacked) if meta is not None
+                   else {k: put(v) for k, v in stacked.items()})
         steps = jnp.arange(start_step, start_step + K, dtype=jnp.int32)
         key = ("cycle", phase, ways, disc_on, run_disc)
         if key not in self._step_cache:
             self._step_cache[key] = self._make_cycle_step(
                 phase, ways, disc_on, run_disc)
         self.state, logs = self._step_cache[key](
-            self.state, stacked, steps, self._base_rng)
+            self.state, stacked, steps, self._base_rng, meta=meta)
         return logs
 
     # ------------------------------------------------------------------

@@ -68,3 +68,32 @@ def test_restore_lenient_extra_and_missing(tmp_path):
     np.testing.assert_array_equal(state["params"]["a"], np.ones(3))
     np.testing.assert_array_equal(state["params"]["new"], np.zeros(4))
     assert "gone" not in state["params"]
+
+
+def test_wire_pack_unpack_roundtrip():
+    """Packed uint8 wire batches decode to the exact int values and
+    f16-rounded mels the dict path would produce."""
+    import jax
+    import numpy as np
+    from neuralsvb_tpu.tasks.svb_vae_task import wire_pack, wire_unpack
+
+    rng = np.random.RandomState(0)
+    b = {
+        "mels": rng.randn(4, 16, 8).astype(np.float32),
+        "prof_mels": rng.randn(4, 12, 8).astype(np.float32),
+        "pitch": rng.randint(0, 256, (4, 16)).astype(np.int32),
+        "prof_pitch": rng.randint(0, 256, (4, 12)).astype(np.int32),
+        "a2p_f0_alignment": rng.randint(0, 12, (4, 12)).astype(np.int32),
+        "spk_emb": rng.randn(4, 6).astype(np.float32),
+    }
+    buf, meta = wire_pack(b)
+    assert buf.dtype == np.uint8 and buf.shape[0] == 4
+    out = jax.jit(wire_unpack, static_argnums=1)(buf, meta)
+    for k in ("pitch", "prof_pitch", "a2p_f0_alignment"):
+        assert out[k].dtype == np.int32
+        np.testing.assert_array_equal(np.asarray(out[k]), b[k])
+    for k in ("mels", "prof_mels"):
+        assert out[k].dtype == np.float32
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      b[k].astype(np.float16).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(out["spk_emb"]), b["spk_emb"])
