@@ -177,6 +177,51 @@ def bench_train_step(n_frames: int = 1536, batch: int = 12, iters: int = 5):
     return out
 
 
+def bench_binarize(n_pairs: int = 3, dur_s: float = 5.0):
+    """Offline binarize throughput (BASELINE.md row 'Binarize throughput'):
+    the full para process_item hot path — STFT+mel x2, F0 tracking x2,
+    EHSADTW a2p alignment — on synthetic paired vibrato tones. Reports
+    audio-seconds packed per wall-second per worker (the pipeline scales
+    linearly over binarize workers)."""
+    import tempfile
+
+    from neuralsvb_tpu.data.binarizer import PopBuTFyENBinarizer
+    from neuralsvb_tpu.hparams import hparams, load_config_recursive
+    from neuralsvb_tpu.ops.audio import save_wav
+
+    cfg = load_config_recursive(
+        "egs/datasets/audio/PopBuTFy/para_bin.yaml")
+    saved = dict(hparams)
+    hparams.update(cfg)
+    tmp = tempfile.mkdtemp(prefix="nsvb_binbench_")
+    hparams["binary_data_dir"] = tmp
+    rng = np.random.RandomState(0)
+    t = np.arange(int(SR * dur_s)) / SR
+    pairs = []
+    for i in range(n_pairs):
+        fns = []
+        for tech in ("Amateur", "Professional"):
+            f0 = 220 + 30 * np.sin(2 * np.pi * (5 + i) * t)
+            wav = (0.3 * np.sin(2 * np.pi * np.cumsum(f0) / SR)
+                   + 0.01 * rng.randn(len(t))).astype(np.float32)
+            fn = f"{tmp}/{tech}_{i}.wav"
+            save_wav(wav, fn, SR)
+            fns.append(fn)
+        pairs.append(tuple(fns))
+    bargs = {"with_f0": True}
+    # warm (jit the DSP kernels once)
+    PopBuTFyENBinarizer.process_item("w", pairs[0][0], 0, pairs[0][1], bargs)
+    t0 = time.perf_counter()
+    audio = 0.0
+    for i, (a_fn, p_fn) in enumerate(pairs):
+        res = PopBuTFyENBinarizer.process_item(f"it{i}", a_fn, 0, p_fn, bargs)
+        audio += res["sec"] + res["prof_sec"]
+    wall = time.perf_counter() - t0
+    hparams.clear()
+    hparams.update(saved)
+    return audio / wall
+
+
 def main():
     rtf, audio_sec, dt = bench_vocoder_rtf()
     utt_per_sec, e2e_rtf, e2e_audio = bench_e2e_svb()
@@ -185,6 +230,11 @@ def main():
         train = bench_train_step()
     except Exception as e:  # noqa: BLE001 — never lose the primary metric
         train = {"train_bench_error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        train["binarize_audio_sec_per_sec_per_worker"] = round(
+            bench_binarize(), 2)
+    except Exception as e:  # noqa: BLE001
+        train["binarize_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     result = {
         "metric": "hifigan_nsf_vocoder_rtf_per_chip",
         "value": round(rtf, 6),
