@@ -92,3 +92,37 @@ def device_busy_from_xplane(trace_dir: str):
             if best:
                 out[plane.name] = max(out.get(plane.name, 0.0), best * 1e-12)
     return out
+
+
+def top_ops_from_xplane(trace_dir: str, k: int = 15):
+    """Aggregate device-plane event durations by op name -> top-k list of
+    (name, seconds). Drives kernel-level optimization: shows which XLA
+    fusions/convs dominate the step (use with ``profile_train.py --top-ops``)."""
+    import glob
+    import os
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    totals: dict = {}
+    for fn in glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                        recursive=True):
+        space = xplane_pb2.XSpace()
+        with open(fn, "rb") as f:
+            space.ParseFromString(f.read())
+        for plane in space.planes:
+            if "TPU" not in plane.name and "GPU" not in plane.name \
+                    and "/device" not in plane.name.lower():
+                continue
+            names = {m.id: m.name for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                if line.name != "XLA Ops":  # per-op stream only
+                    continue
+                for ev in line.events:
+                    nm = names.get(ev.metadata_id, str(ev.metadata_id))
+                    # '%fusion.123 = f32[12,..]{..} fusion(..), ..' ->
+                    # 'fusion f32[12,..]' (instance collapsed, shape kept)
+                    lhs, _, rhs = nm.partition(" = ")
+                    op = lhs.lstrip("%").rsplit(".", 1)[0]
+                    shape = rhs.split("{")[0] if rhs else ""
+                    base = f"{op} {shape}".strip()
+                    totals[base] = totals.get(base, 0.0) + ev.duration_ps * 1e-12
+    return sorted(totals.items(), key=lambda kv: -kv[1])[:k]

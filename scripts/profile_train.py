@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--top-ops", type=int, default=0, metavar="K",
+                    help="also print the K most expensive device ops per step")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--frames", type=int, default=1536)
     ap.add_argument("--batch", type=int, default=12)
@@ -30,7 +32,8 @@ def main():
     from __graft_entry__ import _batch, _flagship_hparams
     from neuralsvb_tpu.hparams import hparams
     from neuralsvb_tpu.utils.profiling import (device_busy_from_xplane,
-                                               profiler_trace)
+                                               profiler_trace,
+                                               top_ops_from_xplane)
 
     hp = _flagship_hparams(tiny=args.tiny)
     hp.update(mesh_shape="data:1", phase_2_steps=10 ** 6)
@@ -70,6 +73,9 @@ def main():
         busy = device_busy_from_xplane(trace_dir)
         dev = max((v for k, v in busy.items() if "host" not in k.lower()),
                   default=max(busy.values(), default=0.0)) / iters_per_call
+        if args.top_ops:
+            for name, sec in top_ops_from_xplane(trace_dir, args.top_ops):
+                print(f"    {sec / iters_per_call * 1e3:8.2f} ms/iter  {name[:90]}")
         return wall, dev
 
     for name, step in [("gen+disc (phase 2)", 5), ("full+map (phase 3)", 10 ** 6 + 5)]:
