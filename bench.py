@@ -138,22 +138,25 @@ def bench_train_step(n_frames: int = 1536, batch: int = 12, iters: int = 5):
     for name, step in [("phase2", 5), ("phase3", 10 ** 6 + 5)]:
         cycle(step)  # compile
         jax.block_until_ready(task.state)
+        # wall from an UNPROFILED loop (profiler start/stop costs seconds on
+        # remote backends and must not pollute the number) ...
         wall_t0 = time.perf_counter()
+        for _ in range(iters):
+            cycle(step)
+        jax.block_until_ready(task.state)
+        wall = (time.perf_counter() - wall_t0) / iters
+        # ... device busy from a separate short profiled run
         busy = {}
         try:
             trace_dir = tempfile.mkdtemp(prefix="nsvb_bench_")
             with profiler_trace(trace_dir):
-                for _ in range(iters):
-                    cycle(step)
+                cycle(step)
                 jax.block_until_ready(task.state)
             busy = device_busy_from_xplane(trace_dir)
         except Exception:  # profiling unsupported on this backend
-            for _ in range(iters):
-                cycle(step)
-            jax.block_until_ready(task.state)
-        wall = (time.perf_counter() - wall_t0) / iters
+            pass
         dev = max((v for k, v in busy.items() if "host" not in k.lower()),
-                  default=max(busy.values(), default=0.0)) / iters
+                  default=max(busy.values(), default=0.0))
         out[f"train_{name}_wall_ms"] = round(wall * 1e3, 1)
         out[f"train_{name}_device_ms"] = round(dev * 1e3, 1) if dev else None
         out[f"train_{name}_audio_sec_per_step"] = round(audio_sec_per_step, 1)
@@ -182,7 +185,27 @@ def bench_binarize(n_pairs: int = 3, dur_s: float = 5.0):
     the full para process_item hot path — STFT+mel x2, F0 tracking x2,
     EHSADTW a2p alignment — on synthetic paired vibrato tones. Reports
     audio-seconds packed per wall-second per worker (the pipeline scales
-    linearly over binarize workers)."""
+    linearly over binarize workers).
+
+    Runs in a CPU subprocess: binarize workers are CPU processes in
+    production (data/multiprocess.py pins them), while this parent process
+    has already initialized the TPU backend — measuring through it would
+    time the tunnel, not the pipeline."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("NSVB_BINBENCH_CHILD") != "1":
+        env = dict(os.environ, NSVB_BINBENCH_CHILD="1", NSVB_PLATFORM="cpu")
+        code = (f"import sys; sys.path.insert(0, {os.getcwd()!r}); "
+                f"import bench; print(bench.bench_binarize("
+                f"{n_pairs}, {dur_s}))")
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=600)
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr.strip().splitlines()[-1][:200])
+        return float(r.stdout.strip().splitlines()[-1])
+
     import tempfile
 
     from neuralsvb_tpu.data.binarizer import PopBuTFyENBinarizer
