@@ -127,6 +127,13 @@ class BaseTask:
         if n_devices > 1:
             batches = [trim_batch_to_multiple(b, n_devices) for b in batches]
             batches = [b for b in batches if len(b) > 0]
+        if shuffle and hparams.get("drop_last_batch"):
+            # keep only full max_sentences batches so training shapes repeat
+            # exactly — required for the K-step fused dispatch windows
+            # (steps_per_dispatch) to form; the reference's DDP similarly
+            # drops world-indivisible batches (reference: tts.py:93-96)
+            full = max_sentences or max(len(b) for b in batches)
+            batches = [b for b in batches if len(b) == full] or batches
         return DataLoaderLite(dataset, batches, endless=endless, shuffle=shuffle,
                               seed=hparams.get("seed", 1234),
                               prefetch=4 if int(hparams.get("ds_workers", 1)

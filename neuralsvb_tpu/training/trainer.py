@@ -154,6 +154,10 @@ class Trainer:
             if not window:
                 return {}
             if len(window) == K:  # full window -> one fused dispatch
+                if not getattr(self, "_cycle_announced", False):
+                    self._cycle_announced = True
+                    print(f"| fused dispatch engaged: {K} steps per "
+                          f"lax.scan cycle")
                 cycle_logs = task.training_cycle(window, self.global_step)
                 self.global_step += K
                 task.global_step = self.global_step

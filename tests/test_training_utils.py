@@ -97,3 +97,48 @@ def test_wire_pack_unpack_roundtrip():
         np.testing.assert_array_equal(np.asarray(out[k]),
                                       b[k].astype(np.float16).astype(np.float32))
     np.testing.assert_array_equal(np.asarray(out["spk_emb"]), b["spk_emb"])
+
+
+def test_drop_last_batch_makes_shapes_repeat():
+    """drop_last_batch keeps only full max_sentences train batches so the
+    K-step fused-dispatch windows (steps_per_dispatch) can form; the
+    reference's DDP similarly drops world-indivisible batches
+    (reference: tasks/tts/tts.py:93-96)."""
+    import numpy as np
+    from neuralsvb_tpu.hparams import hparams
+    from neuralsvb_tpu.tasks.base_task import BaseTask
+
+    class _DS:
+        sizes = [10] * 31
+
+        def __len__(self):
+            return 31
+
+        def ordered_indices(self):
+            return np.arange(31)
+
+        def num_tokens(self, i):
+            return 10
+
+        def collater(self, samples):
+            return samples
+
+        def __getitem__(self, i):
+            return i
+
+    saved = dict(hparams)
+    try:
+        hparams["drop_last_batch"] = True
+        hparams["ds_workers"] = 0
+        task = BaseTask.__new__(BaseTask)
+        dl = BaseTask.build_dataloader(task, _DS(), shuffle=True,
+                                       max_sentences=8, endless=False)
+        lens = [len(b) for b in dl.batches]
+        assert lens and all(n == 8 for n in lens), lens  # 31 -> 3 full of 8
+        # eval loaders (shuffle=False) keep every batch
+        dl2 = BaseTask.build_dataloader(task, _DS(), shuffle=False,
+                                        max_sentences=8, endless=False)
+        assert sum(len(b) for b in dl2.batches) == 31
+    finally:
+        hparams.clear()
+        hparams.update(saved)
