@@ -120,9 +120,15 @@ def wire_pack(b: Dict[str, Any]):
     B = b["mels"].shape[0]
     metas, parts = [], []
     for k in sorted(b):
-        v = np.ascontiguousarray(
-            np.asarray(b[k]).astype(_WIRE_DTYPES.get(k, np.asarray(b[k]).dtype),
-                                    copy=False))
+        src = np.asarray(b[k])
+        wire_dt = _WIRE_DTYPES.get(k, src.dtype)
+        if wire_dt == np.int16 and src.size and src.max() > 32767:
+            # int16 would wrap silently; frame indices stay < max_frames
+            # (5000) in every shipped config, so this only trips on misuse
+            raise ValueError(
+                f"wire_pack: '{k}' max {src.max()} exceeds int16; "
+                f"set wire_dtype: float32 for frame counts > 32767")
+        v = np.ascontiguousarray(src.astype(wire_dt, copy=False))
         metas.append((k, v.dtype.str, v.shape[1:]))
         parts.append(v.reshape(B, -1).view(np.uint8))
     return np.concatenate(parts, axis=1), tuple(metas)

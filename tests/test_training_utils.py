@@ -142,3 +142,14 @@ def test_drop_last_batch_makes_shapes_repeat():
     finally:
         hparams.clear()
         hparams.update(saved)
+
+
+def test_wire_pack_rejects_int16_overflow():
+    import numpy as np
+    import pytest
+    from neuralsvb_tpu.tasks.svb_vae_task import wire_pack
+
+    b = {"mels": np.zeros((2, 4, 8), np.float32),
+         "a2p_f0_alignment": np.full((2, 4), 40000, np.int32)}
+    with pytest.raises(ValueError, match="int16"):
+        wire_pack(b)
