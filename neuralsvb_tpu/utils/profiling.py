@@ -87,7 +87,21 @@ def device_busy_from_xplane(trace_dir: str):
         for plane in space.planes:
             best = 0
             for line in plane.lines:
-                total = sum(ev.duration_ps for ev in line.events)
+                # events nest/overlap (fusions contain sub-ops; async ops
+                # overlap the op stream), so a plain duration sum counts
+                # device time up to ~2x; merge intervals for true busy time
+                spans = sorted((ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                               for ev in line.events)
+                total, cur_s, cur_e = 0, None, None
+                for s, e in spans:
+                    if cur_e is None or s > cur_e:
+                        if cur_e is not None:
+                            total += cur_e - cur_s
+                        cur_s, cur_e = s, e
+                    else:
+                        cur_e = max(cur_e, e)
+                if cur_e is not None:
+                    total += cur_e - cur_s
                 best = max(best, total)
             if best:
                 out[plane.name] = max(out.get(plane.name, 0.0), best * 1e-12)
