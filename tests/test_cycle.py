@@ -144,3 +144,34 @@ def test_trainer_window_flush_boundaries():
     assert must_flush(9, 1)           # disc turns on at step 11
     assert not must_flush(60, 3)
     assert must_flush(997, 3)         # max_updates
+
+
+@pytest.mark.slow
+def test_wire_dtype_float32_fallback():
+    """wire_dtype: float32 disables the packed f16 wire; training steps and
+    the fused cycle must still run (plain dict path) and agree with the
+    packed path to f16-quantization tolerance."""
+    from neuralsvb_tpu.hparams import hparams
+
+    task_f16 = _make_task()
+    b = _batch(seed=3)
+    task_f16.global_step = 1
+    ret16 = task_f16.training_step(b, 1, 0)
+    assert ret16 is not None
+    losses16 = {k: float(v) for k, v in ret16[1].items()}
+
+    task_f32 = _make_task()
+    hparams["wire_dtype"] = "float32"
+    task_f32.global_step = 1
+    ret32 = task_f32.training_step(b, 1, 0)
+    assert ret32 is not None
+    losses32 = {k: float(v) for k, v in ret32[1].items()}
+    assert losses16.keys() == losses32.keys()
+    for k in losses32:
+        assert np.isfinite(losses32[k])
+        # f16 mel quantization perturbs losses only slightly
+        assert abs(losses16[k] - losses32[k]) < 2e-2, (k, losses16[k], losses32[k])
+
+    # fused cycle also runs on the dict path
+    logs = task_f32.training_cycle([b, b], 2)
+    assert all(np.isfinite(np.asarray(v)).all() for v in logs.values())
