@@ -122,12 +122,13 @@ def wire_pack(b: Dict[str, Any]):
     for k in sorted(b):
         src = np.asarray(b[k])
         wire_dt = _WIRE_DTYPES.get(k, src.dtype)
-        if wire_dt == np.int16 and src.size and src.max() > 32767:
+        if wire_dt == np.int16 and src.size and (
+                src.max() > 32767 or src.min() < -32768):
             # int16 would wrap silently; frame indices stay < max_frames
             # (5000) in every shipped config, so this only trips on misuse
             raise ValueError(
-                f"wire_pack: '{k}' max {src.max()} exceeds int16; "
-                f"set wire_dtype: float32 for frame counts > 32767")
+                f"wire_pack: '{k}' range [{src.min()}, {src.max()}] exceeds "
+                f"int16; set wire_dtype: float32 for values outside ±32767")
         v = np.ascontiguousarray(src.astype(wire_dt, copy=False))
         metas.append((k, v.dtype.str, v.shape[1:]))
         parts.append(v.reshape(B, -1).view(np.uint8))
@@ -718,10 +719,20 @@ class SVBVAETaskBase(BaseTask):
         phase, ways = self.phase_and_ways(start_step)
         phase_end, _ = self.phase_and_ways(start_step + K - 1)
         assert phase_end == phase, "cycle window crosses a phase boundary"
-        disc_on = self._disc_start(start_step + 1)
-        assert disc_on == self._disc_start(start_step + K), \
+        # same index convention as training_step: disc_on at step s is
+        # _disc_start(s); the window covers steps [start, start+K)
+        disc_on = self._disc_start(start_step)
+        assert disc_on == self._disc_start(start_step + K - 1), \
             "cycle window crosses disc_start_steps"
-        run_disc = disc_on and hparams["disc_interval"] == 1
+        if disc_on and hparams["disc_interval"] != 1:
+            # the fused scan runs the discriminator every step or never;
+            # silently dropping D updates would corrupt GAN training
+            raise ValueError(
+                "training_cycle requires disc_interval == 1 when the "
+                "discriminator is active; use per-step dispatch "
+                f"(steps_per_dispatch=1) for disc_interval="
+                f"{hparams['disc_interval']}")
+        run_disc = disc_on
         hosts = [self._prep_batch_host(b) for b in batches]
         from ..parallel.mesh import stacked_batch_sharding
         sb = stacked_batch_sharding(self.mesh)

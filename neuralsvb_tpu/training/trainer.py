@@ -39,8 +39,10 @@ def window_crosses_boundary(task, start: int, cur_len: int,
         return True
     if task.phase_and_ways(start)[0] != task.phase_and_ways(end)[0]:
         return True
+    # same index convention as training_step: disc_on at step s is
+    # _disc_start(s); flush when the next step's regime differs
     return (hasattr(task, "_disc_start")
-            and task._disc_start(start + 1) != task._disc_start(end + 1))
+            and task._disc_start(start) != task._disc_start(end))
 
 
 class Trainer:
@@ -78,6 +80,31 @@ class Trainer:
             task.logger = self.logger
         except Exception:
             traceback.print_exc()
+
+    def _maybe_log(self, logs, pbar):
+        """TB/pbar logging that is correct under fused dispatch: global_step
+        advances in increments of K, so instead of `step % interval == 0`
+        (which only fires when a multiple of K lands on the interval) log
+        whenever a window CROSSES an interval boundary (ADVICE r2)."""
+        if not logs:
+            return
+        last = getattr(self, "_last_tb_step", 0)
+        tb_due = self.global_step // self.tb_log_interval > last // self.tb_log_interval
+        pbar_due = (sys.stdout.isatty()
+                    and self.global_step // 20
+                    > getattr(self, "_last_pbar_step", 0) // 20)
+        if not (tb_due or pbar_due):
+            return
+        logs = tensors_to_scalars(logs)
+        if pbar_due or tb_due:
+            self._last_pbar_step = self.global_step
+            pbar.set_postfix(
+                **{k: f"{v:.3f}" for k, v in list(logs.items())[:6]
+                   if isinstance(v, float)})
+        if tb_due:
+            self._last_tb_step = self.global_step
+            self.log_metrics({f"tr/{k}": v for k, v in logs.items()},
+                             self.global_step)
 
     def log_metrics(self, metrics: dict, step: int):
         if self.logger is None:
@@ -133,6 +160,12 @@ class Trainer:
         # windows (shape change, boundary) fall back to per-step dispatch.
         K = int(hparams.get("steps_per_dispatch", 1) or 1)
         use_cycle = K > 1 and hasattr(task, "training_cycle")
+        if use_cycle and int(hparams.get("disc_interval", 1)) != 1:
+            # the fused scan cannot skip discriminator steps; running it
+            # would silently drop all D updates (ADVICE r2)
+            print("| steps_per_dispatch > 1 requires disc_interval == 1; "
+                  "falling back to per-step dispatch")
+            use_cycle = False
         window, window_sig = [], None
 
         def step_one(batch):
@@ -198,7 +231,7 @@ class Trainer:
                     sig = tuple(sorted(
                         (k, getattr(v, "shape", None)) for k, v in batch.items()))
                     if window and sig != window_sig:
-                        logs = flush_window()
+                        self._maybe_log(flush_window(), pbar)
                     window.append(batch)
                     window_sig = sig
                     if len(window) < K and not window_must_flush(len(window)):
@@ -206,17 +239,7 @@ class Trainer:
                     logs = flush_window()
                 else:
                     logs = step_one(batch)
-                sync_now = (self.global_step % self.tb_log_interval == 0
-                            or (logs and self.global_step % 20 == 0
-                                and sys.stdout.isatty()))
-                if sync_now and logs:
-                    logs = tensors_to_scalars(logs)
-                    pbar.set_postfix(
-                        **{k: f"{v:.3f}" for k, v in list(logs.items())[:6]
-                           if isinstance(v, float)})
-                    if self.global_step % self.tb_log_interval == 0:
-                        self.log_metrics({f"tr/{k}": v for k, v in logs.items()},
-                                         self.global_step)
+                self._maybe_log(logs, pbar)
                 if self.global_step % self.val_check_interval == 0:
                     self.run_evaluation(task)
         except KeyboardInterrupt:

@@ -141,9 +141,59 @@ def test_trainer_window_flush_boundaries():
     assert must_flush(48, 2)          # 48+2 hits val boundary 50
     assert not must_flush(48, 1)
     assert must_flush(99, 2)          # next step enters phase 3
-    assert must_flush(9, 1)           # disc turns on at step 11
+    # disc turns on at step 11 (_disc_start(11) is the first True); the
+    # window [10, 11) must flush before step 11 joins it — same index
+    # convention as training_step's _disc_start(step) (ADVICE r2)
+    assert not must_flush(9, 1)       # steps 9, 10 both disc-off
+    assert must_flush(10, 1)          # next step 11 is disc-on
     assert not must_flush(60, 3)
     assert must_flush(997, 3)         # max_updates
+
+
+@pytest.mark.slow
+def test_cycle_at_disc_start_boundary_matches_stepwise():
+    """A fused window starting exactly at the first disc-on step must run
+    the discriminator on the same steps as per-step dispatch (ADVICE r2
+    off-by-one: the old convention ran D one step early)."""
+    from neuralsvb_tpu.hparams import hparams
+    batches = [_batch(seed=s) for s in range(2)]
+
+    task_a = _make_task()
+    hparams["disc_start_steps"] = 4
+    start = 5  # first step with _disc_start(step) True
+    losses_a = []
+    for i, b in enumerate(batches):
+        ret = task_a.training_step(b, start + i, 0)
+        losses_a.append({f"g/{k}": v for k, v in ret[1].items()
+                         if not k.startswith("lr_")})
+        ret = task_a.training_step(b, start + i, 1)
+        assert ret is not None  # disc ran on both steps
+        losses_a[-1].update({f"d/{k}": v for k, v in ret[1].items()
+                             if not k.startswith("lr_")})
+
+    task_b = _make_task()
+    hparams["disc_start_steps"] = 4
+    logs = task_b.training_cycle(batches, start)
+    assert any(k.startswith("d/") for k in logs)
+    for i in range(len(batches)):
+        for k, v in losses_a[i].items():
+            np.testing.assert_allclose(float(v), float(logs[k][i]),
+                                       rtol=1e-5, atol=1e-6, err_msg=f"{k}@{i}")
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        jax.device_get(task_a.state["params"]),
+        jax.device_get(task_b.state["params"]))
+
+
+def test_cycle_rejects_disc_interval():
+    """disc_interval > 1 cannot be expressed in the fused scan; it must
+    raise instead of silently dropping discriminator updates (ADVICE r2)."""
+    from neuralsvb_tpu.hparams import hparams
+    task = _make_task()
+    hparams["disc_interval"] = 2
+    with pytest.raises(ValueError, match="disc_interval"):
+        task.training_cycle([_batch(), _batch()], 5)
 
 
 @pytest.mark.slow
