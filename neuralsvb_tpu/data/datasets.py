@@ -290,6 +290,11 @@ class FastSingingDataset(FastSpeechDataset):
                                         bucket_quant=bq)
         batch["prof_mel_lengths"] = np.asarray(
             [len(s["prof_mel"]) for s in samples], np.int64)
+        # contract completeness with the reference batch
+        # (reference: tasks/singing/neural_svb_task.py:60)
+        batch["prof_mel2ph"] = (
+            collate_1d([s["prof_mel2ph"] for s in samples], 0, bucket_quant=bq)
+            if samples[0].get("prof_mel2ph") is not None else None)
         return batch
 
 

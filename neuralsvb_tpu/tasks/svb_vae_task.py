@@ -847,6 +847,10 @@ class SVBVAETaskBase(BaseTask):
     def test_step(self, batch, batch_idx: int):
         import time
         t0 = time.perf_counter()
+        # reference resets the result index at every test_step, so bs=1
+        # inference always writes [000000][item][P] (reference:
+        # svb_vae_task.py:325 after_infer); batched items count within batch
+        self.results_id = 0
         out, _, b = self._eval_forward(batch, WAYS)
         f0s = {
             "a2a": denorm_f0(batch["f0"], batch["uv"], hparams),

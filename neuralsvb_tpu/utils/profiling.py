@@ -65,6 +65,61 @@ class RTFMeter:
         return self.compute_sec / max(self.audio_sec, 1e-9)
 
 
+def relay_rtt_seconds(n: int = 5) -> float:
+    """Median round-trip time of fetching an already-computed device scalar.
+
+    On remote PJRT backends (TPU behind a relay) this is the fixed transport
+    cost any completion-forcing measurement pays; subtract it from chained
+    wall timings and quote it alongside published numbers. On a local
+    backend it is ~microseconds and harmless to subtract."""
+    import jax
+    import jax.numpy as jnp
+    x = jax.jit(lambda v: v + 0.0)(jnp.float32(1.0))
+    float(jax.device_get(x))  # warm the path
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(jax.device_get(x))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def compiled_flops(jitted, *args, **kwargs) -> float:
+    """FLOPs of one call from XLA's own cost model
+    (``jit(f).lower(...).compile().cost_analysis()``). Returns 0.0 when the
+    backend reports no cost analysis."""
+    try:
+        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
+    except Exception:
+        return 0.0
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return float(ca.get("flops", 0.0) or 0.0) if ca else 0.0
+
+
+#: Dense bf16 peak FLOP/s per chip by ``jax.devices()[0].device_kind``.
+#: MFU is quoted against the bf16 MXU peak (the achievable ceiling for
+#: matmul/conv-dominated programs; f32 programs run below it by design).
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def peak_flops_for_device() -> float:
+    import jax
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_BF16_FLOPS.items():
+        if kind.startswith(k) or k in kind:
+            return v
+    return 0.0
+
+
 def _merged_span_seconds(line) -> float:
     """Interval-merged busy seconds of one xplane line. Events nest/overlap
     (fusions contain sub-ops), so a plain duration sum overcounts up to ~5x;
