@@ -75,7 +75,12 @@ class ConvNorm(nn.Module):
 
 
 class ConvBlock(nn.Module):
-    """conv -> norm -> relu -> dropout (reference: common_layers.py:736-772)."""
+    """conv -> norm -> relu -> dropout (reference: common_layers.py:736-772).
+
+    ``x_mask`` ([B, T, 1], post-stride resolution) makes the block exact
+    under padded/bucketed batches: gn/in statistics are computed over valid
+    frames only and outputs are re-zeroed, so a padded run equals the
+    reference's exact-length (bs=1, unpadded) computation."""
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -83,20 +88,29 @@ class ConvBlock(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, x_mask=None):
         x = ConvNorm(self.features, self.kernel_size, self.stride)(x)
         if self.norm == "bn":
             x = BatchNorm1d()(x, train=train)
         elif self.norm == "in":
-            # InstanceNorm over time, affine
-            mean = x.mean(1, keepdims=True)
-            var = x.var(1, keepdims=True)
+            # InstanceNorm over time, affine; masked moments under padding
+            if x_mask is not None:
+                n = jnp.maximum(x_mask.sum(1, keepdims=True), 1.0)
+                mean = (x * x_mask).sum(1, keepdims=True) / n
+                var = (((x - mean) ** 2) * x_mask).sum(1, keepdims=True) / n
+            else:
+                mean = x.mean(1, keepdims=True)
+                var = x.var(1, keepdims=True)
             x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
             scale = self.param("in_scale", nn.initializers.ones, (self.features,))
             bias = self.param("in_bias", nn.initializers.zeros, (self.features,))
             x = x * scale + bias
         elif self.norm == "gn":
-            x = nn.GroupNorm(num_groups=self.features // 16)(x)
+            # flax reshapes the mask into (..., groups, C//groups) with the
+            # inputs, so it must be materialized at full input shape
+            x = nn.GroupNorm(num_groups=self.features // 16)(
+                x, mask=None if x_mask is None else
+                jnp.broadcast_to(x_mask.astype(bool), x.shape))
         elif self.norm == "ln":
             x = nn.LayerNorm()(x)
         x = nn.relu(x)
@@ -117,14 +131,25 @@ class ConvStacks(nn.Module):
     res: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, x_mask=None):
+        """``x_mask`` [B, T, 1]: masks norm statistics and re-zeroes padded
+        frames each layer, so padded/bucketed batches reproduce the
+        reference's exact-length computation (padding-invariance)."""
         strides = self.strides if self.strides is not None else [1] * self.n_layers
         x = dense(self.n_chans)(x)
+        if x_mask is not None:
+            x = x * x_mask
         for stride in strides:
+            if x_mask is not None and stride > 1:
+                x_mask = x_mask[:, ::stride]
             x_ = ConvBlock(self.n_chans, self.kernel_size, stride,
-                           norm=self.norm, dropout=self.dropout)(x, train=train)
+                           norm=self.norm, dropout=self.dropout)(
+                x, train=train, x_mask=x_mask)
+            if x_mask is not None:
+                x_ = x_ * x_mask
             x = x + x_ if (self.res and stride == 1) else x_
-        return dense(self.odim)(x)
+        out = dense(self.odim)(x)
+        return out if x_mask is None else out * x_mask
 
 
 class ConvGlobalStacks(nn.Module):

@@ -142,9 +142,14 @@ class ConformerEncoderLayer(nn.Module):
         h = RelPositionMultiHeadedAttention(self.num_heads, 0.0, name="self_attn")(
             h, pos_emb, mask=mask, train=train)
         x = res + drop(h)
-        # conv module
+        # conv module; zero padded frames first so the depthwise kernel sees
+        # exactly the implicit zero-padding an unpadded (bs=1) run would —
+        # without this, bucketed batches leak padding into the last
+        # (kernel_size-1)/2 valid frames
         res = x
         h = nn.LayerNorm(name="norm_conv")(x)
+        if mask is not None:
+            h = h * mask.transpose(0, 2, 1).astype(h.dtype)
         h = ConvolutionModule(self.hidden_size, self.kernel_size, name="conv_module")(
             h, train=train)
         x = res + drop(h)

@@ -81,13 +81,27 @@ class GlobalFVAEEncoder(FVAEEncoder):
         # output collapses to length 0 (NaN mean); right-pad short clips
         if h.shape[1] < 15:
             h = jnp.pad(h, ((0, 0), (0, 15 - h.shape[1]), (0, 0)))
+        # reference-exact lengths under padding: an unpadded (bs=1) run
+        # pools L0 valid frames through three VALID stride-2 convs, so its
+        # mean covers exactly L3 positions. VALID windows p < L_i read only
+        # positions < L_{i-1}, which our zero-padded run computes
+        # identically — restricting the mean to the first L3 positions (and
+        # dividing by L3, not the padded length) makes the global latent
+        # padding-invariant (reference: vae_models.py:96-105 never pads)
+        n_valid = jnp.maximum(
+            x_mask.sum(axis=(1, 2)).astype(jnp.int32), 15)
+        L = n_valid
         for i in range(3):
             h = nn.Conv(self.latent_channels * 2, (3,), strides=(2,),
                         padding="VALID", name=f"pool_{i}")(h)
             if i < 2:
                 h = nn.relu(h)
                 h = BatchNorm1d(name=f"pool_bn_{i}")(h, train=train)
-        h = h.mean(1, keepdims=True)  # [B, 1, 2L]
+            L = (L - 3) // 2 + 1
+        wmask = (jnp.arange(h.shape[1])[None, :] < L[:, None])
+        wmask = wmask[:, :, None].astype(h.dtype)
+        h = (h * wmask).sum(1, keepdims=True) \
+            / jnp.maximum(L, 1)[:, None, None].astype(h.dtype)  # [B, 1, 2L]
         m, logs = jnp.split(h, 2, axis=-1)
         eps = jax.random.normal(self.make_rng("noise"), m.shape, m.dtype)
         z = m + eps * jnp.exp(logs)

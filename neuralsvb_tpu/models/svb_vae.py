@@ -35,14 +35,21 @@ class CondUpsampler(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # padded frames (all-zero, like every masked module output) are
+        # re-zeroed after each conv so stacked kernels see the implicit
+        # zero-padding of an unpadded run (padding-invariance)
+        mask = (jnp.abs(x).sum(-1, keepdims=True) > 0).astype(x.dtype)
         for i, scale in enumerate(s for s in self.mel_strides if s > 1):
             x = jnp.repeat(x, scale, axis=1)
+            mask = jnp.repeat(mask, scale, axis=1)
             k = scale * 2 + 1
             x = nn.Conv(self.hidden_size, (k,), padding=[(scale, scale)],
                         name=f"conv_{i}")(x)
             x = nn.relu(x)
             x = BatchNorm1d(name=f"bn_{i}")(x, train=train)
-        return nn.Conv(self.hidden_size, (5,), padding=[(2, 2)], name="conv_out")(x)
+            x = x * mask
+        return nn.Conv(self.hidden_size, (5,), padding=[(2, 2)],
+                       name="conv_out")(x) * mask
 
 
 class SVBVAE(nn.Module):
@@ -101,21 +108,27 @@ class SVBVAE(nn.Module):
     def prepare_condition(self, mel, pitch, spk_emb, train: bool = False):
         """reference: svb_vae.py:60-86."""
         T = pitch.shape[1]
-        h_pitch = self.pitch_encoder(self.pitch_embed(pitch), train=train)
+        tgt_nonpadding = (pitch > 0).astype(mel.dtype)[:, :, None]
+        h_pitch = self.pitch_encoder(self.pitch_embed(pitch), train=train,
+                                     x_mask=tgt_nonpadding)
         ppg = jax.lax.stop_gradient(self.vc_asr(mel, train=False)["h_content"])
         h_content = self.upsample_layer(ppg, train=train)[:, :T]
         h_style = jnp.repeat(self.spk_embed_proj(spk_emb)[:, None, :], T, axis=1)
-        tgt_nonpadding = (pitch > 0).astype(mel.dtype)[:, :, None]
         return dict(h_pitch=h_pitch, h_content=h_content, h_style=h_style,
                     tgt_nonpadding=tgt_nonpadding)
 
-    def _cond_sum(self, h_pitch, h_content, h_style):
-        return self.encoded_embed_proj(
+    def _cond_sum(self, h_pitch, h_content, h_style, mask=None):
+        cond = self.encoded_embed_proj(
             jnp.concatenate([h_pitch, h_content, h_style], -1))
+        # zero the condition at padded frames (h_style is nonzero there):
+        # the FVAE's strided g_pre_net would otherwise smear padding into
+        # the last valid stride-frames, breaking padding-invariance
+        return cond if mask is None else cond * mask
 
     def normal_vae(self, tgt_mel, conds, infer: bool, train: bool = False,
                    prior_mean=0.0):
-        cond = self._cond_sum(conds["h_pitch"], conds["h_content"], conds["h_style"])
+        cond = self._cond_sum(conds["h_pitch"], conds["h_content"],
+                              conds["h_style"], mask=conds["tgt_nonpadding"])
         out: Dict[str, Any] = {}
         if infer:
             mel_out, z_p = self.vae_model(g=cond, prior_mean=prior_mean, infer=True,
@@ -207,7 +220,8 @@ class SVBVAE(nn.Module):
             gathered = jnp.take_along_axis(
                 amateur_conds["h_content"], a2p_alignment[:, :, None], axis=1)
         style = jnp.repeat(amateur_conds["h_style"][:, :1], T_p, axis=1)
-        return self._cond_sum(prof_conds["h_pitch"], gathered, style)
+        return self._cond_sum(prof_conds["h_pitch"], gathered, style,
+                              mask=prof_conds["tgt_nonpadding"])
 
     def _a2p(self, a2a_out, p2p_out, amateur_conds, prof_conds, a2p_alignment,
              disable_map, train, map_train=None):

@@ -48,22 +48,47 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Put array leaves of a batch dict onto the mesh, sharded on 'data'.
-    Non-array entries (strings, ids) pass through on host.
+def process_local_rows(x: np.ndarray, axis: int = 0) -> np.ndarray:
+    """This process's contiguous block of a GLOBAL batch array.
 
-    Multi-host (``jax.distributed.initialize`` via NSVB_MULTIHOST): each
-    process passes its LOCAL batch slice (identically seeded loaders, one
-    1/process_count share each) and the global array is assembled with
-    ``jax.make_array_from_process_local_data`` — the SPMD replacement for
-    the reference's per-rank ``x[rank::world]`` slicing (tts.py:93-96)."""
+    Multi-host contract: every host's identically-seeded loader collates the
+    SAME full global batch (identical values and padding — per-host
+    collation of disjoint row subsets could pad to different lengths and
+    desynchronize shapes across hosts); each host then contributes its
+    1/process_count contiguous row block. The global row order follows the
+    mesh's process-ordered device list, so block p belongs to process p.
+    SPMD replacement for the reference's per-rank ``x[rank::world]`` slicing
+    (reference: tasks/tts/tts.py:93-96)."""
+    world = jax.process_count()
+    if world <= 1:
+        return x
+    n = x.shape[axis]
+    assert n % world == 0, (
+        f"global batch dim {n} not divisible by process_count {world}; "
+        "the loader trims batches to a multiple of the mesh size")
+    rows = n // world
+    p = jax.process_index()
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(p * rows, (p + 1) * rows)
+    return x[tuple(sl)]
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Put array leaves of a GLOBAL batch dict onto the mesh, sharded on
+    'data'. Non-array entries (strings, ids) pass through on host.
+
+    Multi-host (``jax.distributed.initialize`` via NSVB_MULTIHOST): every
+    process passes the same full global batch; its local contiguous row
+    block (``process_local_rows``) is carved out here and the global array
+    is assembled with ``jax.make_array_from_process_local_data``."""
     bs = batch_sharding(mesh)
     multihost = jax.process_count() > 1
 
     def put(x):
         if isinstance(x, np.ndarray) and x.ndim >= 1:
             if multihost:
-                return jax.make_array_from_process_local_data(bs, x)
+                return jax.make_array_from_process_local_data(
+                    bs, process_local_rows(x))
             return jax.device_put(x, bs)
         return x
     return {k: put(v) for k, v in batch.items()}

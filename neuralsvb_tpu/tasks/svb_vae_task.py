@@ -413,19 +413,56 @@ class SVBVAETaskBase(BaseTask):
                              losses, postfix=way)
         return losses
 
+    @staticmethod
+    def _cast_tree(tree, src, dst):
+        return jax.tree_util.tree_map(
+            lambda t: t.astype(dst) if getattr(t, "dtype", None) == src else t,
+            tree)
+
+    def _compute_dtype(self):
+        return (jnp.bfloat16 if hparams.get("compute_dtype") == "bfloat16"
+                else None)
+
     def _apply_model(self, params, batch_stats, batch, ways, rng, train,
                      map_train=None, mutable=False):
+        """compute_dtype: bfloat16 runs the model body in bf16 (halved HBM
+        traffic + native MXU rate) while params/optimizer/losses stay f32 —
+        the cast at the param boundary transposes to a cast on the grads,
+        so the update path is unchanged (reference AMP analogue:
+        utils/trainer.py:87-88,306-307; no loss scaling needed in bf16)."""
+        cdt = self._compute_dtype()
+        if cdt is not None:
+            params = self._cast_tree(params, jnp.float32, cdt)
+            batch_stats = self._cast_tree(batch_stats, jnp.float32, cdt)
+            batch = self._cast_tree(batch, jnp.float32, cdt)
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = dict(concurrent_ways=ways, train=train)
         if map_train is not None:
             kwargs["map_train"] = map_train
         kwargs["disable_map"] = bool(hparams.get("disable_map", False))
         k_noise, k_drop = jax.random.split(rng)
-        return self.model.apply(
+        ret = self.model.apply(
             variables, batch["mels"], batch["prof_mels"], batch["pitch"],
             batch["prof_pitch"], batch["spk_emb"], batch["a2p_f0_alignment"],
             rngs={"noise": k_noise, "dropout": k_drop},
             mutable=["batch_stats"] if mutable else False, **kwargs)
+        if cdt is not None:
+            # losses and carried batch_stats stay f32 across steps
+            ret = self._cast_tree(ret, cdt, jnp.float32)
+        return ret
+
+    def _disc_apply(self, disc_params, disc_stats, mel, mutable=False, **kw):
+        cdt = self._compute_dtype()
+        if cdt is not None:
+            disc_params = self._cast_tree(disc_params, jnp.float32, cdt)
+            disc_stats = self._cast_tree(disc_stats, jnp.float32, cdt)
+            mel = mel.astype(cdt)
+        ret = self.mel_disc.apply(
+            {"params": disc_params, "batch_stats": disc_stats}, mel,
+            mutable=["batch_stats"] if mutable else False, **kw)
+        if cdt is not None:
+            ret = self._cast_tree(ret, cdt, jnp.float32)
+        return ret
 
     # ------------------------------------------------------------------
     # jitted steps (cached per (kind, ways, disc_on))
@@ -454,9 +491,8 @@ class SVBVAETaskBase(BaseTask):
                 self._model_losses(out, batch, ways, losses)
                 if disc_on:
                     for i, way in enumerate(ways):
-                        o = self.mel_disc.apply(
-                            {"params": state["disc_params"],
-                             "batch_stats": state["disc_batch_stats"]},
+                        o = self._disc_apply(
+                            state["disc_params"], state["disc_batch_stats"],
                             out[way]["mel_out"],
                             rngs={"disc": jax.random.fold_in(k_disc, i)})
                         if o["y"] is not None:
@@ -495,15 +531,13 @@ class SVBVAETaskBase(BaseTask):
                     kr, kf = jax.random.split(jax.random.fold_in(rng, i))
                     kr, kr_d = jax.random.split(kr)
                     kf, kf_d = jax.random.split(kf)
-                    o_real, m1 = self.mel_disc.apply(
-                        {"params": disc_params, "batch_stats": mut_stats},
-                        mel_g, train=True, rngs={"disc": kr, "dropout": kr_d},
-                        mutable=["batch_stats"])
+                    o_real, m1 = self._disc_apply(
+                        disc_params, mut_stats, mel_g, train=True,
+                        rngs={"disc": kr, "dropout": kr_d}, mutable=True)
                     mut_stats = m1["batch_stats"]
-                    o_fake, m2 = self.mel_disc.apply(
-                        {"params": disc_params, "batch_stats": mut_stats},
-                        fakes[way], train=True, rngs={"disc": kf, "dropout": kf_d},
-                        mutable=["batch_stats"])
+                    o_fake, m2 = self._disc_apply(
+                        disc_params, mut_stats, fakes[way], train=True,
+                        rngs={"disc": kf, "dropout": kf_d}, mutable=True)
                     mut_stats = m2["batch_stats"]
                     if o_real["y"] is not None:
                         losses[f"{way}_r"] = mse(o_real["y"], 1.0)
@@ -551,9 +585,9 @@ class SVBVAETaskBase(BaseTask):
                             sample_key = ("a2p_sample_recon"
                                           if "a2p_sample_recon" in out[way]
                                           else "mel_out")
-                            o = self.mel_disc.apply(
-                                {"params": state["disc_params"],
-                                 "batch_stats": state["disc_batch_stats"]},
+                            o = self._disc_apply(
+                                state["disc_params"],
+                                state["disc_batch_stats"],
                                 out[way][sample_key], rngs={"disc": k_disc})
                             if o["y"] is not None:
                                 losses[f"{way}_a"] = mse(o["y"], 1.0) * lam_adv
@@ -746,7 +780,9 @@ class SVBVAETaskBase(BaseTask):
             meta = None
             stacked = {k: np.stack([h[k] for h in hosts]) for k in hosts[0]}
         if jax.process_count() > 1:
-            put = lambda v: jax.make_array_from_process_local_data(sb, v)
+            from ..parallel.mesh import process_local_rows
+            put = lambda v: jax.make_array_from_process_local_data(
+                sb, process_local_rows(v, axis=1))  # [K, B, ...]: B is global
         else:
             put = lambda v: jax.device_put(v, sb)
         stacked = (put(stacked) if meta is not None

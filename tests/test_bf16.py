@@ -1,0 +1,112 @@
+"""bf16 mixed-precision training (compute_dtype: bfloat16): params,
+optimizer state and losses stay f32; the model body (matmuls/convs, the HBM
+traffic that dominates step time) runs in bf16. The cast at the param
+boundary transposes onto the grads, so the update path is unchanged.
+Reference analogue: AMP autocast (utils/trainer.py:87-88,306-307) — bf16
+needs no GradScaler."""
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.slow
+
+TINY = dict(
+    audio_num_mel_bins=80, hidden_size=32, latent_size=8,
+    fvae_enc_dec_hidden=16, fvae_kernel_size=5, fvae_enc_n_layers=2,
+    fvae_dec_n_layers=2, frames_multiple=4, mel_strides=[2, 1, 1],
+    asr_enc_layers=1, asr_dec_layers=1, asr_last_norm=False,
+    mel_loss="ssim:0.5|l1:0.5", lambda_kl=0.001, lambda_mle=1.0,
+    lambda_mel_adv=0.0, mel_gan=False, disc_start_steps=0, disc_interval=1,
+    disc_win_num=2, mel_disc_hidden_size=8, disc_norm="in",
+    disc_reduction="stack", use_cond_disc=False,
+    cross_way_no_recon_loss=False, cross_way_no_disc_loss=False,
+    disable_map=False, optimizer_adam_beta1=0.9, optimizer_adam_beta2=0.98,
+    weight_decay=0.0, generator_grad_norm=5.0, discriminator_grad_norm=1.0,
+    discriminator_optimizer_params={"eps": 1e-6, "weight_decay": 0.0},
+    discriminator_scheduler_params={"step_size": 60000, "gamma": 0.5},
+    map_scheduler_params={"step_size": 60000, "gamma": 0.5},
+    lr=0.2, disc_lr=1e-4, map_lr=1e-3, scheduler="rsqrt",
+    warmup_updates=100, phase_1_steps=-1, phase_2_steps=1000,
+    phase_1_concurrent_ways="p2p", phase_2_concurrent_ways="a2a,p2p",
+    phase_3_concurrent_ways="a2p", seed=1234, binary_data_dir="",
+    pretrain_asr_ckpt="", mesh_shape="data:1", max_frames=5000,
+)
+
+
+def _batch(B=4, T=64, seed=0):
+    rng = np.random.RandomState(seed)
+    return dict(
+        mels=rng.randn(B, T, 80).astype(np.float32) - 2,
+        prof_mels=rng.randn(B, T, 80).astype(np.float32) - 2,
+        pitch=rng.randint(1, 255, (B, T)).astype(np.int32),
+        prof_pitch=rng.randint(1, 255, (B, T)).astype(np.int32),
+        a2p_f0_alignment=np.clip(np.arange(T), 0, T - 1)
+        .astype(np.int32)[None].repeat(B, 0),
+        multi_spk_emb=rng.randn(B, 5, 256).astype(np.float32),
+        nsamples=B,
+    )
+
+
+def _run(compute_dtype, n_steps=20):
+    from neuralsvb_tpu.hparams import hparams
+    from neuralsvb_tpu.tasks.svb_vae_task import SVBVAEMleTask
+    hparams.clear()
+    hparams.update(TINY)
+    hparams["compute_dtype"] = compute_dtype
+    task = SVBVAEMleTask()
+    task.build_model()
+    b = _batch()
+    traj = []
+    for step in range(1, n_steps + 1):
+        ret = task.training_step(b, step, 0)
+        assert ret is not None
+        traj.append(float(ret[1]["l1p2p"]) + float(ret[1]["l1a2a"]))
+    state = task.get_state()
+    return traj, state
+
+
+def test_bf16_trajectory_tracks_f32():
+    """Overfit one batch for 20 generator steps in f32 and bf16: same
+    downward trajectory, per-step recon deltas bounded by bf16 rounding
+    (not by divergence), params stay f32 throughout."""
+    traj32, state32 = _run("float32")
+    traj16, state16 = _run("bfloat16")
+    # params and optimizer state remain f32 under bf16 compute
+    for leaf in jax.tree_util.tree_leaves(state16["params"]):
+        assert leaf.dtype == np.float32
+    for leaf in jax.tree_util.tree_leaves(state16["opt_gen"]):
+        assert np.asarray(leaf).dtype in (np.float32, np.int32, np.int64)
+    # both trajectories learn (overfit one batch; rsqrt warmup keeps the
+    # effective lr small over 20 steps, so the bar is a steady decrease)
+    assert traj32[-1] < traj32[0] * 0.95, (traj32[0], traj32[-1])
+    assert traj16[-1] < traj16[0] * 0.95, (traj16[0], traj16[-1])
+    # bf16 rounding perturbs each step slightly; over 20 steps the
+    # trajectories must stay close in absolute loss terms
+    deltas = [abs(a - b) for a, b in zip(traj32, traj16)]
+    assert max(deltas) < 0.05, (max(deltas), traj32[-3:], traj16[-3:])
+    assert abs(traj32[-1] - traj16[-1]) / traj32[-1] < 0.02, \
+        (traj32[-1], traj16[-1])
+
+
+def test_bf16_eval_matches_f32():
+    """Eval/infer forward in bf16 agrees with f32 to bf16 tolerance."""
+    from neuralsvb_tpu.hparams import hparams
+    from neuralsvb_tpu.tasks.svb_vae_task import SVBVAEMleTask
+    outs = {}
+    for cdt in ("float32", "bfloat16"):
+        hparams.clear()
+        hparams.update(TINY)
+        hparams["compute_dtype"] = cdt
+        task = SVBVAEMleTask()
+        task.build_model()
+        b = task._prep_batch_host(_batch(), infer=True)
+        out = task._apply_model(task.state["params"],
+                                task.state["batch_stats"], b,
+                                ("a2a", "p2p", "a2p"),
+                                jax.random.PRNGKey(0), train=False)
+        outs[cdt] = np.asarray(out["a2p"]["mel_out"])
+        assert outs[cdt].dtype == np.float32
+    mae = np.abs(outs["float32"] - outs["bfloat16"]).mean()
+    assert mae < 0.05, mae

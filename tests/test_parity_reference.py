@@ -65,7 +65,9 @@ def ref():
         try:
             __import__(m)
         except ImportError:
-            sys.modules[m] = mock.MagicMock(name=m)
+            stub = mock.MagicMock(name=m)
+            stub.__name__ = m  # requests reads chardet.__name__ on import
+            sys.modules[m] = stub
     if REF not in sys.path:
         sys.path.insert(0, REF)
     from utils.hparams import hparams as ref_hparams
