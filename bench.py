@@ -114,7 +114,11 @@ def _vocoder_model_and_params():
     return model, params, None
 
 
-def bench_vocoder_rtf(n_frames: int = 2048, iters: int = 10, warmup: int = 2):
+def bench_vocoder_rtf(n_frames: int = 2048, iters: int = 10, warmup: int = 2,
+                      dtype: str = "float32", rtt: float | None = None):
+    """``dtype='bfloat16'`` runs the generator body in bf16 (the production
+    serving precision — the CLI's compute_dtype knob); params stay f32 in
+    HBM and are cast in-program."""
     import jax
     import jax.numpy as jnp
 
@@ -125,14 +129,20 @@ def bench_vocoder_rtf(n_frames: int = 2048, iters: int = 10, warmup: int = 2):
     rng = np.random.RandomState(0)
     mel = (rng.randn(1, n_frames, 80).astype(np.float32) - 2.0)
     f0 = np.full((1, n_frames), 220.0, np.float32)
+    cdt = jnp.bfloat16 if dtype == "bfloat16" else None
 
     @jax.jit
     def run(params, mel, f0, key, carry):
         # carry * 0 creates the cross-call data dependency; it adds one
         # scalar broadcast to the program, nothing measurable
+        if cdt is not None:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(cdt) if p.dtype == jnp.float32 else p,
+                params)
+            mel = mel.astype(cdt)
         wav = model.apply({"params": params}, mel + carry * 0.0, f0,
                           rngs={"noise": key})
-        return jnp.sum(wav)
+        return jnp.sum(wav.astype(jnp.float32))
 
     key = jax.random.PRNGKey(2)
     zero = jnp.float32(0.0)
@@ -140,7 +150,8 @@ def bench_vocoder_rtf(n_frames: int = 2048, iters: int = 10, warmup: int = 2):
     for i in range(warmup):
         carry = run(params, mel, f0, key, carry)
     float(jax.device_get(carry))  # compile + warm, completion-forced
-    rtt = relay_rtt_seconds()
+    if rtt is None:
+        rtt = relay_rtt_seconds()
 
     m = _measure(
         lambda i, c: run(params, mel, f0, jax.random.fold_in(key, i),
@@ -388,6 +399,17 @@ def main():
         selfchecks.append(
             f"vocoder: raw wall {v['raw_wall_s'] * 1e3:.1f} ms < device "
             f"{v['device_s'] * 1e3:.1f} ms; published the device lower bound")
+
+    try:  # production serving precision (compute_dtype: bfloat16)
+        vb = bench_vocoder_rtf(iters=6, dtype="bfloat16", rtt=v["rtt_s"])
+        detail["vocoder_rtf_bf16"] = round(vb["wall_s"] / vb["audio_sec"], 6)
+        if vb["device_s"]:
+            detail["vocoder_rtf_bf16_device"] = round(
+                vb["device_s"] / vb["audio_sec"], 6)
+        if not vb["selfcheck_ok"]:
+            selfchecks.append("vocoder_bf16: wall below device busy")
+    except Exception as exc:  # noqa: BLE001
+        detail["vocoder_bf16_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     for tag, kw in [("", dict(batch=1)),
                     ("_b8", dict(batch=8, iters=3))]:

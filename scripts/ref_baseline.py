@@ -52,7 +52,8 @@ def bench_ref_vocoder(torch, hifigan_mod, n_frames, iters=3, warmup=1):
                upsample_initial_channel=512,
                resblock_kernel_sizes=[3, 7, 11],
                resblock_dilation_sizes=[[1, 3, 5]] * 3,
-               audio_num_mel_bins=80)
+               audio_num_mel_bins=80, use_pitch_embed=True,
+               audio_sample_rate=SR)
     torch.manual_seed(0)
     model = hifigan_mod.HifiGanGenerator(cfg).eval()
     mel = torch.randn(1, 80, n_frames) - 2.0
