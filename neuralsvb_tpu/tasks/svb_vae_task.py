@@ -112,15 +112,30 @@ _WIRE_DTYPES = {"mels": np.float16, "prof_mels": np.float16,
                 "pitch": np.int16, "prof_pitch": np.int16,
                 "a2p_f0_alignment": np.int16}
 _COMPUTE_DTYPES = {"<f2": jnp.float32, "<i2": jnp.int32}
+# wire_dtype: int8 — lossy log-mel quantization for interconnect-bound
+# setups (halves the dominant wire bytes vs f16). Log10-mels live in
+# [-10, 2] (log10(max(1e-10, mel)), reference: data_gen_utils.py:93-147);
+# mid -4 / scale 12/254 covers that span at ~0.047 LSB — above f16
+# rounding but below typical mel-estimation noise. Opt-in only.
+_I8_KEYS = ("mels", "prof_mels")
+_I8_MID, _I8_SCALE = -4.0, 12.0 / 254.0
 
 
 def wire_pack(b: Dict[str, Any]):
     """Pack a host batch dict into (uint8 buffer [B, nbytes], static meta).
-    meta = tuple of (key, numpy dtype str, per-example shape)."""
+    meta = tuple of (key, numpy dtype str, per-example shape); the custom
+    dtype tag "|q1" marks int8-quantized log-mels."""
     B = b["mels"].shape[0]
+    int8_mels = hparams.get("wire_dtype", "float16") == "int8"
     metas, parts = [], []
     for k in sorted(b):
         src = np.asarray(b[k])
+        if int8_mels and k in _I8_KEYS:
+            q = np.clip(np.rint((src - _I8_MID) / _I8_SCALE),
+                        -127, 127).astype(np.int8)
+            metas.append((k, "|q1", q.shape[1:]))
+            parts.append(q.reshape(B, -1).view(np.uint8))
+            continue
         wire_dt = _WIRE_DTYPES.get(k, src.dtype)
         if wire_dt == np.int16 and src.size and (
                 src.max() > 32767 or src.min() < -32768):
@@ -142,6 +157,14 @@ def wire_unpack(buf, meta):
     out, off = {}, 0
     B = buf.shape[0]
     for k, dt, shp in meta:
+        if dt == "|q1":  # int8-quantized log-mels
+            n = int(np.prod(shp, dtype=np.int64)) if shp else 1
+            sl = jax.lax.slice_in_dim(buf, off, off + n, axis=1)
+            q = jax.lax.bitcast_convert_type(sl, jnp.int8)
+            x = q.astype(jnp.float32) * _I8_SCALE + _I8_MID
+            out[k] = x.reshape((B,) + tuple(shp))
+            off += n
+            continue
         dtype = np.dtype(dt)
         n = int(np.prod(shp, dtype=np.int64)) if shp else 1
         nb = n * dtype.itemsize
@@ -743,30 +766,15 @@ class SVBVAETaskBase(BaseTask):
 
         return cycle
 
-    def training_cycle(self, batches, start_step: int):
-        """Run ``len(batches)`` consecutive training iterations in ONE jitted
-        dispatch (lax.scan, donated state). All batches must share shapes
-        (same pad bucket) and the window must stay within one phase/disc
-        regime — the Trainer groups accordingly. Returns the per-step loss
-        dict with [K]-shaped leaves (device arrays; sync only when logging)."""
+    def prepare_cycle(self, batches):
+        """Host pack + (async) device transfer of a K-step window:
+        returns an opaque handle for :meth:`training_cycle`. Calling this
+        ahead of time — the Trainer does it from a prefetch thread —
+        overlaps window N+1's pack/transfer with window N's device compute;
+        the transfer is the wall bottleneck on interconnect-bound setups
+        (profiled: 30 MB/window through the remote relay vs ~190 ms of
+        device compute; scripts/profile_cycle.py)."""
         K = len(batches)
-        phase, ways = self.phase_and_ways(start_step)
-        phase_end, _ = self.phase_and_ways(start_step + K - 1)
-        assert phase_end == phase, "cycle window crosses a phase boundary"
-        # same index convention as training_step: disc_on at step s is
-        # _disc_start(s); the window covers steps [start, start+K)
-        disc_on = self._disc_start(start_step)
-        assert disc_on == self._disc_start(start_step + K - 1), \
-            "cycle window crosses disc_start_steps"
-        if disc_on and hparams["disc_interval"] != 1:
-            # the fused scan runs the discriminator every step or never;
-            # silently dropping D updates would corrupt GAN training
-            raise ValueError(
-                "training_cycle requires disc_interval == 1 when the "
-                "discriminator is active; use per-step dispatch "
-                f"(steps_per_dispatch=1) for disc_interval="
-                f"{hparams['disc_interval']}")
-        run_disc = disc_on
         hosts = [self._prep_batch_host(b) for b in batches]
         from ..parallel.mesh import stacked_batch_sharding
         sb = stacked_batch_sharding(self.mesh)
@@ -787,6 +795,38 @@ class SVBVAETaskBase(BaseTask):
             put = lambda v: jax.device_put(v, sb)
         stacked = (put(stacked) if meta is not None
                    else {k: put(v) for k, v in stacked.items()})
+        return stacked, meta, K
+
+    def training_cycle(self, batches, start_step: int, prepared=None):
+        """Run ``len(batches)`` consecutive training iterations in ONE jitted
+        dispatch (lax.scan, donated state). All batches must share shapes
+        (same pad bucket) and the window must stay within one phase/disc
+        regime — the Trainer groups accordingly. ``prepared`` accepts a
+        :meth:`prepare_cycle` handle for the same batches (prefetched
+        transfer). Returns the per-step loss dict with [K]-shaped leaves
+        (device arrays; sync only when logging)."""
+        K = len(batches)
+        phase, ways = self.phase_and_ways(start_step)
+        phase_end, _ = self.phase_and_ways(start_step + K - 1)
+        assert phase_end == phase, "cycle window crosses a phase boundary"
+        # same index convention as training_step: disc_on at step s is
+        # _disc_start(s); the window covers steps [start, start+K)
+        disc_on = self._disc_start(start_step)
+        assert disc_on == self._disc_start(start_step + K - 1), \
+            "cycle window crosses disc_start_steps"
+        if disc_on and hparams["disc_interval"] != 1:
+            # the fused scan runs the discriminator every step or never;
+            # silently dropping D updates would corrupt GAN training
+            raise ValueError(
+                "training_cycle requires disc_interval == 1 when the "
+                "discriminator is active; use per-step dispatch "
+                f"(steps_per_dispatch=1) for disc_interval="
+                f"{hparams['disc_interval']}")
+        run_disc = disc_on
+        if prepared is None:
+            prepared = self.prepare_cycle(batches)
+        stacked, meta, K_prep = prepared
+        assert K_prep == K, (K_prep, K)
         steps = jnp.arange(start_step, start_step + K, dtype=jnp.int32)
         key = ("cycle", phase, ways, disc_on, run_disc)
         if key not in self._step_cache:

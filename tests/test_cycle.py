@@ -196,6 +196,65 @@ def test_cycle_rejects_disc_interval():
         task.training_cycle([_batch(), _batch()], 5)
 
 
+def test_wire_int8_roundtrip():
+    """wire_dtype: int8 quantizes log-mels to ~0.047 LSB; decode inside
+    jit recovers them within half an LSB, other keys stay exact."""
+    from neuralsvb_tpu.hparams import hparams
+    from neuralsvb_tpu.tasks.svb_vae_task import (_I8_SCALE, wire_pack,
+                                                  wire_unpack)
+    hparams.clear()
+    hparams.update(TINY)
+    hparams["wire_dtype"] = "int8"
+    b = _batch(seed=7)
+    b.pop("nsamples")
+    b.pop("multi_spk_emb")
+    buf, meta = wire_pack(b)
+    assert buf.dtype == np.uint8
+    mel_keys = {k for k, dt, _ in meta if dt == "|q1"}
+    assert mel_keys == {"mels", "prof_mels"}
+    dec = jax.jit(wire_unpack, static_argnames="meta")(buf, meta)
+    for k in ("mels", "prof_mels"):
+        err = np.abs(np.asarray(dec[k]) - b[k]).max()
+        assert err <= _I8_SCALE / 2 + 1e-6, (k, err)
+    for k in ("pitch", "prof_pitch", "a2p_f0_alignment"):
+        np.testing.assert_array_equal(np.asarray(dec[k]), b[k])
+
+
+@pytest.mark.slow
+def test_wire_int8_training_step():
+    """A gen training step runs on the int8 wire and its losses stay close
+    to the f16-wire step (quantization noise only)."""
+    from neuralsvb_tpu.hparams import hparams
+    b = _batch(seed=3)
+    task16 = _make_task()
+    r16 = task16.training_step(b, 1, 0)
+    task8 = _make_task()
+    hparams["wire_dtype"] = "int8"
+    r8 = task8.training_step(b, 1, 0)
+    l16 = {k: float(v) for k, v in r16[1].items()}
+    l8 = {k: float(v) for k, v in r8[1].items()}
+    assert l16.keys() == l8.keys()
+    for k in l8:
+        assert np.isfinite(l8[k])
+        assert abs(l8[k] - l16[k]) < 5e-2, (k, l8[k], l16[k])
+
+
+@pytest.mark.slow
+def test_prepare_cycle_handle():
+    """training_cycle accepts a prepare_cycle handle (the Trainer prefetch
+    path) and produces the same losses as the direct call."""
+    task_a = _make_task()
+    batches = [_batch(seed=s) for s in range(2)]
+    logs_a = task_a.training_cycle(batches, 5)
+    task_b = _make_task()
+    prepared = task_b.prepare_cycle(batches)
+    logs_b = task_b.training_cycle(batches, 5, prepared=prepared)
+    for k in logs_a:
+        np.testing.assert_allclose(np.asarray(logs_a[k]),
+                                   np.asarray(logs_b[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 @pytest.mark.slow
 def test_wire_dtype_float32_fallback():
     """wire_dtype: float32 disables the packed f16 wire; training steps and
