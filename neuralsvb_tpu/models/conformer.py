@@ -44,7 +44,8 @@ class RelPositionMultiHeadedAttention(nn.Module):
         q = dense(C, name="linear_q")(x).reshape(B, T, H, Dh)
         k = dense(C, name="linear_k")(x).reshape(B, T, H, Dh)
         v = dense(C, name="linear_v")(x).reshape(B, T, H, Dh)
-        p = dense(C, use_bias=False, name="linear_pos")(pos_emb).reshape(1, -1, H, Dh)
+        p = dense(C, use_bias=False, name="linear_pos")(pos_emb).reshape(
+            pos_emb.shape[0], -1, H, Dh)  # [B or 1, T, H, Dh]
 
         pos_bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (H, Dh))
         pos_bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (H, Dh))
@@ -58,7 +59,11 @@ class RelPositionMultiHeadedAttention(nn.Module):
                                preferred_element_type=jnp.float32)
         matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, p_t,
                                preferred_element_type=jnp.float32)
-        matrix_bd = self._rel_shift(matrix_bd)
+        if mask is not None:
+            n_valid = mask.reshape(B, -1, T)[:, 0].sum(-1).astype(jnp.int32)
+            matrix_bd = self._rel_shift_exact(matrix_bd, n_valid)
+        else:
+            matrix_bd = self._rel_shift(matrix_bd)
         scores = (matrix_ac + matrix_bd) / math.sqrt(Dh)
 
         if mask is not None:
@@ -84,6 +89,36 @@ class RelPositionMultiHeadedAttention(nn.Module):
         x_padded = jnp.concatenate([zero_pad, x], -1)
         x_padded = x_padded.reshape(B, H, T2 + 1, T1)
         return x_padded[:, :, 1:].reshape(B, H, T1, T2)
+
+    @staticmethod
+    def _rel_shift_exact(bd, n):
+        """Reference-exact rel-shift under padding: reproduces what the
+        legacy ESPnet rel_shift computes for a sequence of TRUE length n —
+        including its wrap "junk" at positive offsets (reference:
+        espnet_transformer_attn.py:127-145 without zero_triu; the trained
+        checkpoints saw that junk, so exactness requires emulating it).
+
+        Derivation: rel_shift flattens [0 | bd[q, 0..n-1]] rows to a
+        (n+1, n)-strided view, so out_n[a, b] = 0 if c == 0 else
+        bd_n[q', c-1] with m = (a+1)*n + b, q' = m // (n+1), c = m %% (n+1).
+        Our per-example pos table (ConformerLayers._pos_emb_per_example) is
+        the exact-length table shifted right by T-n, so
+        bd_n[q, j] = bd[q, j + T - n]. For n == T this reduces to the plain
+        shift bit-for-bit; the gather costs one T^2 lookup per head."""
+        B, H, T, _ = bd.shape
+        a = jnp.arange(T)[:, None]
+        b = jnp.arange(T)[None, :]
+        n_ = jnp.maximum(n, 1)[:, None, None]          # [B, 1, 1]
+        m = (a + 1) * n_ + b                           # [B, T, T]
+        q_idx = jnp.clip(m // (n_ + 1), 0, T - 1)
+        c = m % (n_ + 1)
+        j_idx = jnp.clip(c - 1 + (T - n_), 0, T - 1)
+
+        def one(bd_b, qb, jb):                         # bd_b: [H, T, T]
+            return bd_b[:, qb, jb]                     # [H, T, T]
+
+        out = jax.vmap(one)(bd, q_idx, j_idx)
+        return jnp.where((c == 0)[:, None], 0.0, out)
 
 
 class ConvolutionModule(nn.Module):
@@ -172,12 +207,31 @@ class ConformerLayers(nn.Module):
     dropout: float = 0.1
     use_last_norm: bool = True
 
+    def _pos_emb_per_example(self, n_valid, T, max_len=5000):
+        """ESPnet-legacy rel-pos table, built per example for its TRUE
+        length: the legacy table's effective offset embedding is shifted by
+        the sequence length (row j is read for offset d = j - (T-1), giving
+        position max(L, n) - n - d), so a padded run with the naive length-T
+        table would bias attention differently from the reference's exact
+        bs=1 computation. arg = (T-1-j) + (max(max_len, n) - n) reproduces
+        the exact-length table for every example regardless of padding."""
+        dim = self.hidden_size
+        i = jnp.arange(T, dtype=jnp.float32)
+        L_ref = jnp.maximum(jnp.float32(max_len), n_valid.astype(jnp.float32))
+        arg = (T - 1 - i)[None, :] + (L_ref - n_valid)[:, None]  # [B, T]
+        div = jnp.asarray(
+            np.exp(np.arange(0, dim, 2) * -(math.log(10000.0) / dim)),
+            jnp.float32)
+        ang = arg[:, :, None] * div[None, None, :]               # [B, T, D/2]
+        return jnp.stack([jnp.sin(ang), jnp.cos(ang)], -1).reshape(
+            ang.shape[0], T, dim)
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         nonpadding = (jnp.abs(x).sum(-1) > 0)  # [B, T]
         mask = nonpadding[:, None, :]  # [B, 1, T] valid positions
         T = x.shape[1]
-        pos_emb = jnp.asarray(rel_positional_encoding(T, self.hidden_size))[None]
+        pos_emb = self._pos_emb_per_example(nonpadding.sum(-1), T)
         h = x * math.sqrt(self.hidden_size)
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
         pos_emb = nn.Dropout(self.dropout)(pos_emb, deterministic=not train)
