@@ -289,6 +289,28 @@ def bench_train_step(n_frames: int = 1536, batch: int = 12, iters: int = 5):
                              f"device {dev * 1e3:.1f} ms")
         out[f"train_{name}_wall_ms"] = round((wall if ok else dev) * 1e3, 1)
         out[f"train_{name}_device_ms"] = round(dev * 1e3, 1) if dev else None
+        if name == "phase2" and dev:
+            try:  # fwd+bwd+update FLOPs of the fused gen(+disc) dispatch
+                from neuralsvb_tpu.utils.profiling import compiled_flops
+                phase, ways = task.phase_and_ways(step)
+                disc_on = task._disc_start(step)
+                fn = task._step_cache.get(("gen_disc", ways, disc_on))
+                b_dev, meta = task._prep_batch(b)
+                if fn is not None:
+                    import jax as _jax
+                    flops = compiled_flops(
+                        fn, task.state, b_dev, _jax.random.PRNGKey(0),
+                        1e-4, 1e-4, meta=meta)
+                    if flops:
+                        from neuralsvb_tpu.utils.profiling import \
+                            peak_flops_for_device
+                        out["train_phase2_tflops"] = round(flops / dev / 1e12, 2)
+                        peak = peak_flops_for_device()
+                        if peak:
+                            out["train_phase2_mfu_vs_bf16_peak"] = round(
+                                flops / dev / peak, 4)
+            except Exception:  # noqa: BLE001 — FLOPs are best-effort
+                pass
 
     # fused K-step cycle (one lax.scan dispatch per K iterations) — the
     # production dispatch mode (steps_per_dispatch hparam). Steady-state

@@ -68,7 +68,11 @@ class VCASR(nn.Module):
 
     @nn.compact
     def __call__(self, mel, prev_tokens=None, conversion_alignment=None,
-                 train: bool = False):
+                 train: bool = False, exact_lengths=None):
+        """``exact_lengths``: forwarded to ConformerLayers — pass
+        ``not task_train`` from frozen-ASR call sites (which always use
+        ``train=False``) so training steps keep the reference's fast
+        batched rel-pos semantics while inference stays bs=1-exact."""
         ret = {}
         _, h = Prenet(self.hidden_size, strides=list(self.mel_strides),
                       name="mel_prenet")(mel, train=train)
@@ -76,7 +80,8 @@ class VCASR(nn.Module):
             h_content = ConformerLayers(
                 self.hidden_size, self.asr_enc_layers, kernel_size=31,
                 use_last_norm=self.asr_last_norm, dropout=self.dropout,
-                name="content_encoder")(h, train=train)
+                name="content_encoder")(h, train=train,
+                                        exact_lengths=exact_lengths)
         else:
             from .common import ConvStacks
             h_content = ConvStacks(n_chans=self.hidden_size, odim=self.hidden_size,

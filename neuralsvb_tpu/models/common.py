@@ -154,7 +154,10 @@ class ConvStacks(nn.Module):
 
 class ConvGlobalStacks(nn.Module):
     """Strided conv stack + temporal mean -> global vector [B, odim]
-    (reference: common_layers.py:710-733)."""
+    (reference: common_layers.py:710-733). NOTE: the temporal mean spans
+    the padded length, mirroring the reference's unmasked pooling — only
+    the SVBPPG ref-encoder path uses this (not the flagship), and the
+    reference pads identically in its batched mode."""
     n_layers: int = 5
     n_chans: int = 256
     odim: int = 32

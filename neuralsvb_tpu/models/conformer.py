@@ -38,7 +38,8 @@ class RelPositionMultiHeadedAttention(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, pos_emb, mask=None, train: bool = False):
+    def __call__(self, x, pos_emb, mask=None, train: bool = False,
+                 exact_lengths: bool = False):
         B, T, C = x.shape
         H, Dh = self.num_heads, C // self.num_heads
         q = dense(C, name="linear_q")(x).reshape(B, T, H, Dh)
@@ -59,10 +60,15 @@ class RelPositionMultiHeadedAttention(nn.Module):
                                preferred_element_type=jnp.float32)
         matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, p_t,
                                preferred_element_type=jnp.float32)
-        if mask is not None:
+        if mask is not None and exact_lengths:
+            # reference-exact per-example rel-shift (matches the reference's
+            # exact-length bs=1 computation under any padding)
             n_valid = mask.reshape(B, -1, T)[:, 0].sum(-1).astype(jnp.int32)
             matrix_bd = self._rel_shift_exact(matrix_bd, n_valid)
         else:
+            # training mode: the reference also computes rel-pos at the
+            # collate length on padded batches; the plain shift mirrors that
+            # and skips the skew/gather ops (~25 ms/step at flagship dims)
             matrix_bd = self._rel_shift(matrix_bd)
         scores = (matrix_ac + matrix_bd) / math.sqrt(Dh)
 
@@ -98,27 +104,41 @@ class RelPositionMultiHeadedAttention(nn.Module):
         espnet_transformer_attn.py:127-145 without zero_triu; the trained
         checkpoints saw that junk, so exactness requires emulating it).
 
-        Derivation: rel_shift flattens [0 | bd[q, 0..n-1]] rows to a
-        (n+1, n)-strided view, so out_n[a, b] = 0 if c == 0 else
-        bd_n[q', c-1] with m = (a+1)*n + b, q' = m // (n+1), c = m %% (n+1).
-        Our per-example pos table (ConformerLayers._pos_emb_per_example) is
-        the exact-length table shifted right by T-n, so
-        bd_n[q, j] = bd[q, j + T - n]. For n == T this reduces to the plain
-        shift bit-for-bit; the gather costs one T^2 lookup per head."""
+        Derivation: the legacy shift flattens [0 | bd_n[q, 0..n-1]] rows
+        into an (n+1, n)-strided view, which resolves in closed form to
+            out[a, b] = bd_n[a,   (n-1) + d]   for d = b - a <= 0  (legit)
+            out[a, b] = 0                      for d == 1
+            out[a, b] = bd_n[a+1, d - 2]       for d >= 2          (junk)
+        — the junk is simply the NEXT query row re-indexed. With our
+        per-example table (bd_n[q, j] = bd[q, j + T - n], see
+        _pos_emb_per_example) the d <= 0 branch is the plain shift of
+        ``bd`` unchanged, and the junk branch is the plain shift of the
+        rows-up-by-one matrix column-shifted by (T - n) - (T + 1): one
+        cheap last-dim gather + two reshape-shifts, no 2-D gather (the
+        per-(a,b) gather variant cost ~9x the whole train step on TPU).
+        For n == T this reduces to the plain shift bit-for-bit."""
         B, H, T, _ = bd.shape
-        a = jnp.arange(T)[:, None]
-        b = jnp.arange(T)[None, :]
-        n_ = jnp.maximum(n, 1)[:, None, None]          # [B, 1, 1]
-        m = (a + 1) * n_ + b                           # [B, T, T]
-        q_idx = jnp.clip(m // (n_ + 1), 0, T - 1)
-        c = m % (n_ + 1)
-        j_idx = jnp.clip(c - 1 + (T - n_), 0, T - 1)
-
-        def one(bd_b, qb, jb):                         # bd_b: [H, T, T]
-            return bd_b[:, qb, jb]                     # [H, T, T]
-
-        out = jax.vmap(one)(bd, q_idx, j_idx)
-        return jnp.where((c == 0)[:, None], 0.0, out)
+        # d <= 0 (legit offsets): the plain shift of the padded matrix is
+        # already exact — the per-example table absorbs the T-n shift
+        part1 = RelPositionMultiHeadedAttention._rel_shift(bd)
+        # d >= 2 (junk): out[a, b] = bd[a+1, (d-2) + (T-n)]. Skew the
+        # rows-up-by-one matrix (row a shifted right by a) via the
+        # pad+reshape trick, then the remaining index b + (T-n) - 2 is
+        # column-only per example: one cheap last-dim gather.
+        bd_r = jnp.concatenate([bd[:, :, 1:], jnp.zeros_like(bd[:, :, :1])],
+                               axis=2)
+        padded = jnp.pad(bd_r, ((0, 0), (0, 0), (0, 0), (0, T)))
+        flat = padded.reshape(B, H, 2 * T * T)[:, :, : T * (2 * T - 1)]
+        skew = flat.reshape(B, H, T, 2 * T - 1)  # skew[a, j] = bd_r[a, j-a]
+        s = jnp.clip(T - n, 0, T)[:, None]             # [B, 1]
+        j = jnp.arange(T)
+        idx = j[None, :] + s - 2                       # [B, T]
+        part2 = jnp.take_along_axis(
+            skew, jnp.clip(idx, 0, 2 * T - 2)[:, None, None, :], axis=-1)
+        part2 = part2 * (idx >= 0)[:, None, None, :]
+        d = j[None, :] - j[:, None]                    # [T, T] offsets
+        return jnp.where(d[None, None] <= 0, part1,
+                         jnp.where(d[None, None] == 1, 0.0, part2))
 
 
 class ConvolutionModule(nn.Module):
@@ -162,7 +182,8 @@ class ConformerEncoderLayer(nn.Module):
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, pos_emb, mask=None, train: bool = False):
+    def __call__(self, x, pos_emb, mask=None, train: bool = False,
+                 exact_lengths: bool = False):
         drop = lambda h: nn.Dropout(self.dropout)(h, deterministic=not train)
         ff_scale = 0.5
         # macaron FFN
@@ -175,7 +196,7 @@ class ConformerEncoderLayer(nn.Module):
         res = x
         h = nn.LayerNorm(name="norm_mha")(x)
         h = RelPositionMultiHeadedAttention(self.num_heads, 0.0, name="self_attn")(
-            h, pos_emb, mask=mask, train=train)
+            h, pos_emb, mask=mask, train=train, exact_lengths=exact_lengths)
         x = res + drop(h)
         # conv module; zero padded frames first so the depthwise kernel sees
         # exactly the implicit zero-padding an unpadded (bs=1) run would —
@@ -227,18 +248,31 @@ class ConformerLayers(nn.Module):
             ang.shape[0], T, dim)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 exact_lengths: Optional[bool] = None):
+        """``exact_lengths`` (default: not train) selects reference-exact
+        per-example rel-pos semantics (bs=1 parity under padding) vs the
+        reference's batched-training semantics (collate-length table)."""
+        if exact_lengths is None:
+            exact_lengths = not train
         nonpadding = (jnp.abs(x).sum(-1) > 0)  # [B, T]
         mask = nonpadding[:, None, :]  # [B, 1, T] valid positions
         T = x.shape[1]
-        pos_emb = self._pos_emb_per_example(nonpadding.sum(-1), T)
+        if exact_lengths:
+            # reference bs=1 inference semantics at any padding
+            pos_emb = self._pos_emb_per_example(nonpadding.sum(-1), T)
+        else:
+            # reference batched-training semantics: one collate-length table
+            pos_emb = jnp.asarray(
+                rel_positional_encoding(T, self.hidden_size))[None]
         h = x * math.sqrt(self.hidden_size)
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
         pos_emb = nn.Dropout(self.dropout)(pos_emb, deterministic=not train)
         for i in range(self.num_layers):
             h = ConformerEncoderLayer(self.hidden_size, self.kernel_size,
                                       self.num_heads, self.dropout,
-                                      name=f"layer_{i}")(h, pos_emb, mask=mask, train=train)
+                                      name=f"layer_{i}")(h, pos_emb, mask=mask, train=train,
+                                                         exact_lengths=exact_lengths)
         if self.use_last_norm:
             h = nn.LayerNorm(name="last_norm")(h)
         else:

@@ -104,10 +104,12 @@ class VCPPG(nn.Module):
             h = jax.lax.stop_gradient(
                 self.vc_asr(mels_content,
                             conversion_alignment=conversion_alignment,
-                            train=False)["h_content"])  # [B, T/st, H]
+                            train=False,
+                            exact_lengths=not train)["h_content"])  # [B, T/st, H]
         else:
             h = jax.lax.stop_gradient(
-                self.vc_asr(mels_content, train=False)["h_content"])
+                self.vc_asr(mels_content, train=False,
+                            exact_lengths=not train)["h_content"])
         h = self.upsample_layer(h, train=train)
         if self.para and not self.aligned_asr and conversion_alignment is not None:
             h = h[:, : mels_content.shape[1]]

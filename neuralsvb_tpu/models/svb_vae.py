@@ -111,7 +111,9 @@ class SVBVAE(nn.Module):
         tgt_nonpadding = (pitch > 0).astype(mel.dtype)[:, :, None]
         h_pitch = self.pitch_encoder(self.pitch_embed(pitch), train=train,
                                      x_mask=tgt_nonpadding)
-        ppg = jax.lax.stop_gradient(self.vc_asr(mel, train=False)["h_content"])
+        ppg = jax.lax.stop_gradient(
+            self.vc_asr(mel, train=False,
+                        exact_lengths=not train)["h_content"])
         h_content = self.upsample_layer(ppg, train=train)[:, :T]
         h_style = jnp.repeat(self.spk_embed_proj(spk_emb)[:, None, :], T, axis=1)
         return dict(h_pitch=h_pitch, h_content=h_content, h_style=h_style,

@@ -25,13 +25,46 @@ def make_mesh(mesh_shape: str = "", devices=None) -> Mesh:
     'data:N,model:M'."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     if not mesh_shape:
-        return Mesh(devices, ("data",))
-    axes, dims = [], []
-    for part in mesh_shape.split(","):
-        name, dim = part.split(":")
-        axes.append(name.strip())
-        dims.append(int(dim))
-    return Mesh(devices[: int(np.prod(dims))].reshape(dims), tuple(axes))
+        mesh = Mesh(devices, ("data",))
+    else:
+        axes, dims = [], []
+        for part in mesh_shape.split(","):
+            name, dim = part.split(":")
+            axes.append(name.strip())
+            dims.append(int(dim))
+        mesh = Mesh(devices[: int(np.prod(dims))].reshape(dims), tuple(axes))
+    _warm_collectives(mesh)
+    return mesh
+
+
+_warmed_cliques: set = set()
+
+
+def _warm_collectives(mesh: Mesh) -> None:
+    """Establish the mesh's cross-host collective channels NOW, while
+    processes are still in lockstep.
+
+    The first cross-host collective a process executes performs a
+    30-second-deadline rendezvous (KV exchange + TCP pair connect for
+    XLA:CPU's Gloo backend); the resulting context is cached per device
+    clique and reused by every later computation. Deferring that first
+    collective until it occurs naturally — typically inside training step
+    1, after minutes of per-host compiles whose durations can skew — makes
+    the rendezvous time out (measured: a 90 s skew reliably fails cold and
+    succeeds warmed; tests/test_multihost.py hit exactly this). So on
+    multi-process setups we run one tiny all-device all-reduce at mesh
+    construction, when all hosts are microseconds apart."""
+    if jax.process_count() <= 1:
+        return
+    key = tuple(int(d.id) for d in mesh.devices.flat)
+    if key in _warmed_cliques:
+        return
+    s = NamedSharding(mesh, P(mesh.axis_names[0]))
+    n = mesh.devices.shape[0]
+    local = np.zeros((max(n, 1), 1), np.float32)
+    x = jax.make_array_from_process_local_data(s, local, local.shape)
+    float(jax.device_get(jax.jit(lambda a: a.sum())(x)))  # all-reduce
+    _warmed_cliques.add(key)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -112,18 +145,38 @@ def param_sharding(leaf, mesh: Mesh, min_size: int = 4096) -> NamedSharding:
     return replicated(mesh)
 
 
+def put_global(x, s: NamedSharding):
+    """Place one host value onto a (possibly multi-host) sharding.
+
+    Single-process this is ``jax.device_put``. Multi-host, ``device_put`` of
+    a host value onto a global sharding first runs a cross-process equality
+    assert — one ``process_allgather`` (a Gloo/ICI collective) PER LEAF,
+    which for a whole state tree is hundreds of collectives and a Gloo
+    connect-timeout hazard when hosts are skewed by long compiles (seen in
+    tests/test_multihost.py). Every host passes the same full value here
+    (the SPMD contract ``shard_batch`` documents), so we skip the check and
+    build the global array from process-local data directly:
+    ``global_shape == local_data.shape`` makes each host carve out its own
+    devices' shards — no collective, no value exchange."""
+    if jax.process_count() > 1:
+        arr = np.asarray(x)
+        return jax.make_array_from_process_local_data(s, arr, arr.shape)
+    return jax.device_put(x, s)
+
+
 def replicate_state(state, mesh: Mesh, min_size: int | None = None):
     """Place a state tree on the mesh: replicated under pure DP; with a
     'model' axis, large param/optimizer leaves are tensor-sharded by
     ``param_sharding`` (optimizer moments mirror the param tree shapes, so
     the same shape rule aligns them)."""
     if _tp_size(mesh) <= 1:
-        return jax.device_put(state, replicated(mesh))
+        rep = replicated(mesh)
+        return jax.tree_util.tree_map(lambda x: put_global(x, rep), state)
     if min_size is None:
         from ..hparams import hparams
         min_size = int(hparams.get("tp_min_param_size") or 4096)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, param_sharding(x, mesh, min_size)), state)
+        lambda x: put_global(x, param_sharding(x, mesh, min_size)), state)
 
 
 def trim_batch_to_multiple(batch_idxs: list, n: int) -> list:

@@ -47,6 +47,30 @@ def test_conformer_masks_padding():
     assert np.abs(np.asarray(y[:, T // 2:])).max() == 0
 
 
+def test_rel_shift_exact_matches_legacy_espnet():
+    """_rel_shift_exact(bd, n) on the padded [T, T] score matrix must equal
+    the legacy ESPnet rel_shift run at the TRUE length n (junk wrap
+    included) on the valid [n, n] block, for every n — and reduce to the
+    plain shift bit-for-bit at n == T."""
+    from neuralsvb_tpu.models.conformer import RelPositionMultiHeadedAttention
+    shift = RelPositionMultiHeadedAttention._rel_shift
+    exact = RelPositionMultiHeadedAttention._rel_shift_exact
+
+    rng = np.random.RandomState(0)
+    Tn, Hh = 17, 2
+    ns = np.array([17, 11, 5, 1], np.int32)
+    bd = rng.randn(len(ns), Hh, Tn, Tn).astype(np.float32)
+    got = np.asarray(exact(jnp.asarray(bd), jnp.asarray(ns)))
+    for b, n in enumerate(ns):
+        # per-example table relation: bd_n[q, j] = bd[q, j + T - n]
+        bd_n = bd[b:b + 1, :, :n, Tn - n:]
+        want = np.asarray(shift(jnp.asarray(bd_n)))[0]
+        np.testing.assert_allclose(got[b, :, :n, :n], want, atol=1e-6,
+                                   err_msg=f"n={n}")
+    full = np.asarray(shift(jnp.asarray(bd)))
+    np.testing.assert_array_equal(got[0], full[0])  # n == T: bit-exact
+
+
 def test_vcasr_ppg_and_tokens():
     m = VCASR(dict_size=50, hidden_size=H)
     mel = _mel()

@@ -210,7 +210,11 @@ def test_multihost_trainer_fit(tmp_path):
                                 extra_args=[_free_port(), str(tmp_path)])
     digests = []
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"fit child {pid} failed:\n{out[-3000:]}"
+        if p.returncode != 0:  # a distributed failure cascades: show BOTH logs
+            allout = "\n".join(
+                f"----- child {i} rc={q.returncode} -----\n{o[-3000:]}"
+                for i, (q, o) in enumerate(zip(procs, outs)))
+            raise AssertionError(f"fit child {pid} failed:\n{allout}")
         assert f"fit child {pid} OK" in out
         digests.append([ln for ln in out.splitlines()
                         if f"fit child {pid} digest" in ln][0].split()[-1])
