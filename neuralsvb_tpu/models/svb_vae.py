@@ -105,15 +105,23 @@ class SVBVAE(nn.Module):
             self.seg_ref_attn = MultiheadAttention(4)
 
     # ------------------------------------------------------------------
-    def prepare_condition(self, mel, pitch, spk_emb, train: bool = False):
-        """reference: svb_vae.py:60-86."""
+    def prepare_condition(self, mel, pitch, spk_emb, train: bool = False,
+                          exact_lengths=None):
+        """reference: svb_vae.py:60-86. ``exact_lengths`` selects the
+        frozen ASR's rel-pos semantics (see models/conformer.py): None
+        defaults to ``not train`` — exact at inference, batched in
+        training. Phase-3 training applies the model in eval mode on
+        padded batches, where the reference still computes rel-pos at the
+        collate length, so the task passes exact_lengths=False there."""
+        if exact_lengths is None:
+            exact_lengths = not train
         T = pitch.shape[1]
         tgt_nonpadding = (pitch > 0).astype(mel.dtype)[:, :, None]
         h_pitch = self.pitch_encoder(self.pitch_embed(pitch), train=train,
                                      x_mask=tgt_nonpadding)
         ppg = jax.lax.stop_gradient(
             self.vc_asr(mel, train=False,
-                        exact_lengths=not train)["h_content"])
+                        exact_lengths=exact_lengths)["h_content"])
         h_content = self.upsample_layer(ppg, train=train)[:, :T]
         h_style = jnp.repeat(self.spk_embed_proj(spk_emb)[:, None, :], T, axis=1)
         return dict(h_pitch=h_pitch, h_content=h_content, h_style=h_style,
@@ -155,14 +163,17 @@ class SVBVAE(nn.Module):
                  spk_emb, a2p_alignment=None, concurrent_ways: Tuple[str, ...] = (),
                  infer: bool = False, disable_map: bool = False,
                  train: bool = False, map_train: Optional[bool] = None,
-                 tech_ids: Optional[Tuple[int, int]] = None):
+                 tech_ids: Optional[Tuple[int, int]] = None,
+                 exact_lengths: Optional[bool] = None):
         """Returns {way: outputs}. ``concurrent_ways`` must be static.
         ``spk_emb``: [B, 256] — the same (amateur) speaker embedding is used
         for both sides, as in the reference task (svb_vae_task.py:146)."""
         ret: Dict[str, Dict[str, Any]] = {}
         amateur_conds = self.prepare_condition(amateur_mel, amateur_pitch, spk_emb,
-                                               train=train)
-        prof_conds = self.prepare_condition(prof_mel, prof_pitch, spk_emb, train=train)
+                                               train=train,
+                                               exact_lengths=exact_lengths)
+        prof_conds = self.prepare_condition(prof_mel, prof_pitch, spk_emb, train=train,
+                                            exact_lengths=exact_lengths)
 
         if tech_ids is None and self.variant in ("tech_mle", "seg_tech_mle"):
             # prior N(tech_id, 1): amateur=0, professional=1

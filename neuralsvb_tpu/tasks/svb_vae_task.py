@@ -447,7 +447,7 @@ class SVBVAETaskBase(BaseTask):
                 else None)
 
     def _apply_model(self, params, batch_stats, batch, ways, rng, train,
-                     map_train=None, mutable=False):
+                     map_train=None, mutable=False, exact_lengths=None):
         """compute_dtype: bfloat16 runs the model body in bf16 (halved HBM
         traffic + native MXU rate) while params/optimizer/losses stay f32 —
         the cast at the param boundary transposes to a cast on the grads,
@@ -462,6 +462,8 @@ class SVBVAETaskBase(BaseTask):
         kwargs = dict(concurrent_ways=ways, train=train)
         if map_train is not None:
             kwargs["map_train"] = map_train
+        if exact_lengths is not None:
+            kwargs["exact_lengths"] = exact_lengths
         kwargs["disable_map"] = bool(hparams.get("disable_map", False))
         k_noise, k_drop = jax.random.split(rng)
         ret = self.model.apply(
@@ -594,9 +596,14 @@ class SVBVAETaskBase(BaseTask):
             k_noise, k_disc = jax.random.split(rng)
 
             def loss_fn(params):
+                # eval-mode model, but a TRAINING step on padded batches:
+                # the reference computes rel-pos at the collate length here
+                # too, so keep the fast batched semantics (exact per-example
+                # rel-pos costs ~26 ms/step at flagship dims)
                 out, mut = self._apply_model(params, state["batch_stats"], batch,
                                              all_ways, k_noise, train=False,
-                                             map_train=True, mutable=True)
+                                             map_train=True, mutable=True,
+                                             exact_lengths=False)
                 losses: Dict[str, Any] = {}
                 self._model_losses(out, batch, all_ways, losses)
                 for way in ways:
