@@ -117,34 +117,86 @@ def denoise_spectral_subtract(wav: np.ndarray, hp: dict, v: float = 0.1) -> np.n
     return istft_np(mag * np.exp(1j * np.angle(spec)), hp["hop_size"], hp["win_size"])
 
 
-def trim_long_silences(wav: np.ndarray, sr: int, top_db: float = 35.0,
-                       frame_ms: float = 30.0, max_sil_ms: float = 400.0):
-    """Energy-based VAD trim of long internal silences — replacement for the
-    reference's webrtcvad path (reference: data_gen_utils.py:27-90; webrtcvad
-    is unavailable here). Returns (trimmed wav, keep mask, sr)."""
-    wav = np.asarray(wav, np.float32)
-    frame = max(1, int(sr * frame_ms / 1000))
-    n = len(wav) // frame
+def _subband_speech_flags(wav16k: np.ndarray, frame: int) -> np.ndarray:
+    """Per-window speech decision on 16 kHz audio — the detector inside
+    :func:`trim_long_silences`.
+
+    The reference uses webrtcvad mode 3 here (a fixed-point 6-sub-band
+    two-class GMM, unavailable in this environment and not reimplementable
+    bit-exactly without its source). This substitute keeps the decision
+    granularity and aggressiveness but decides from sub-band SNR against
+    an adaptive noise floor: per window, log energy in the same six bands
+    webrtcvad models (80-250, 250-500, 500-1k, 1-2k, 2-3k, 3-4k Hz via an
+    rFFT); the noise floor is the per-band mean over the globally quietest
+    ~10% of windows (quietest by total energy, so the floor is estimated
+    jointly from actual silence rather than per-band percentiles, which a
+    low-pass speech signal would corrupt in the high bands); speech when
+    the summed over-floor log-energy exceeds a threshold tuned to
+    webrtcvad mode-3-like behavior on speech-shaped signals."""
+    n = len(wav16k) // frame
+    frames = wav16k[: n * frame].reshape(n, frame)
+    spec = np.abs(np.fft.rfft(frames * np.hanning(frame), axis=-1)) ** 2
+    freqs = np.fft.rfftfreq(frame, 1.0 / 16000)
+    edges = [80, 250, 500, 1000, 2000, 3000, 4000]
+    band_e = np.stack([
+        spec[:, (freqs >= lo) & (freqs < hi)].sum(-1)
+        for lo, hi in zip(edges[:-1], edges[1:])], -1)  # [n, 6]
+    log_e = 10 * np.log10(np.maximum(band_e, 1e-12))
+    total = band_e.sum(-1)
+    n_quiet = max(1, n // 10)
+    quiet = np.argpartition(total, n_quiet - 1)[:n_quiet]
+    floor = log_e[quiet].mean(0, keepdims=True)  # noise floor per band
+    snr = np.maximum(log_e - floor, 0.0)
+    # low bands carry voicing; weight them up (speech energy is low-pass)
+    w = np.array([1.0, 1.0, 1.0, 0.75, 0.5, 0.5])
+    return (snr * w).sum(-1) > 18.0
+
+
+def trim_long_silences(wav: np.ndarray, sr: int,
+                       vad_max_silence_length: int = 12,
+                       return_raw_wav: bool = False):
+    """Trim long internal silences; substitute for the reference's
+    webrtcvad pipeline (reference: data_gen_utils.py:27-90).
+
+    The surrounding pipeline is reproduced exactly — resample to 16 kHz,
+    30 ms decision windows, moving-average smoothing (width 8, rounded),
+    binary dilation with a ``vad_max_silence_length + 1`` structuring
+    element, window-rate mask repeated and resized back to the raw wav
+    length — only the per-window detector differs (see
+    :func:`_subband_speech_flags`; webrtcvad itself is a substitute-only
+    port, recorded in PARITY.md). Returns ``(trimmed, mask, sr)`` like the
+    reference (or ``(raw, mask, sr)`` with ``return_raw_wav``)."""
+    wav_raw = np.asarray(wav, np.float32)
+    wav16 = resample(wav_raw, sr, 16000)
+    frame = (30 * 16000) // 1000  # 30 ms -> 480 samples
+    wav16 = wav16[: len(wav16) - (len(wav16) % frame)]
+    n = len(wav16) // frame
     if n == 0:
-        return wav, np.ones(len(wav), bool), sr
-    e = (wav[: n * frame].reshape(n, frame) ** 2).mean(-1)
-    ref = max(e.max(), 1e-10)
-    db = 10 * np.log10(np.maximum(e / ref, 1e-10))
-    voiced = db > -top_db
-    # keep short silences, drop runs longer than max_sil_ms
-    max_run = max(1, int(max_sil_ms / frame_ms))
-    keep_f = voiced.copy()
-    i = 0
-    while i < n:
-        if not voiced[i]:
-            j = i
-            while j < n and not voiced[j]:
-                j += 1
-            if j - i <= max_run:
-                keep_f[i:j] = True
-            i = j
-        else:
-            i += 1
-    mask = np.repeat(keep_f, frame)
-    mask = np.pad(mask, (0, len(wav) - len(mask)), constant_values=True)
-    return wav[mask], mask, sr
+        mask = np.ones(len(wav_raw), bool)
+        return wav_raw, mask, sr
+    flags = _subband_speech_flags(wav16, frame).astype(float)
+
+    width = 8  # reference vad_moving_average_width
+    padded = np.concatenate([np.zeros((width - 1) // 2), flags,
+                             np.zeros(width // 2)])
+    csum = np.cumsum(padded, dtype=float)
+    csum[width:] = csum[width:] - csum[:-width]
+    smoothed = csum[width - 1:] / width
+    audio_mask = np.round(smoothed).astype(bool)
+
+    # dilate voiced regions: silences <= vad_max_silence_length windows
+    # between speech survive (scipy-free 1-D binary_dilation)
+    k = vad_max_silence_length + 1
+    half_l, half_r = (k - 1) // 2, k // 2
+    idx = np.flatnonzero(audio_mask)
+    dilated = np.zeros(n, bool)
+    for i in idx:
+        dilated[max(0, i - half_l): i + half_r + 1] = True
+    audio_mask = np.repeat(dilated, frame)
+    # nearest-neighbor resize to the raw length (reference: skimage resize>0)
+    pos = np.minimum((np.arange(len(wav_raw)) * len(audio_mask))
+                     // max(len(wav_raw), 1), len(audio_mask) - 1)
+    mask = audio_mask[pos]
+    if return_raw_wav:
+        return wav_raw, mask, sr
+    return wav_raw[mask], mask, sr

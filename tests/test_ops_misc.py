@@ -103,3 +103,41 @@ def test_world_mcep_helpers():
     out = formant_enhancement(mc.copy(), 0.3, 22050)
     assert out.shape == mc.shape and np.isfinite(out).all()
     assert not np.allclose(out, mc)
+
+
+def test_trim_long_silences_pipeline():
+    """Pipeline semantics of the webrtcvad-substitute VAD (reference:
+    data_gen_utils.py:27-90): long internal silences are removed, speech
+    and short inter-phrase gaps survive, the mask covers the raw length,
+    and trimmed == wav[mask]."""
+    from neuralsvb_tpu.ops.audio import trim_long_silences
+    sr = 22050
+    rng = np.random.RandomState(0)
+
+    def speech(dur):  # harmonic-rich voiced burst with shimmer
+        t = np.arange(int(sr * dur)) / sr
+        f0 = 180 * (1 + 0.05 * np.sin(2 * np.pi * 4 * t))
+        ph = 2 * np.pi * np.cumsum(f0) / sr
+        s = sum(np.sin(k * ph) / k for k in range(1, 6))
+        return (0.3 * s * (0.7 + 0.3 * np.sin(2 * np.pi * 3 * t))
+                ).astype(np.float32)
+
+    def sil(dur):  # near-silence with faint noise floor
+        return (1e-4 * rng.randn(int(sr * dur))).astype(np.float32)
+
+    wav = np.concatenate([
+        sil(1.5), speech(1.0), sil(0.15), speech(1.0), sil(2.0), speech(1.0),
+        sil(1.5)])
+    trimmed, mask, out_sr = trim_long_silences(wav, sr)
+    assert out_sr == sr and mask.shape == wav.shape
+    np.testing.assert_array_equal(trimmed, wav[mask])
+    # the 2 s internal and 1.5 s edge silences must mostly go...
+    assert len(trimmed) < len(wav) - int(1.5 * sr)
+    # ...while every speech segment survives (~>=90% of speech samples kept)
+    speech_len = 3 * int(sr * 1.0)
+    assert mask.sum() >= 0.9 * speech_len
+    # the short 0.15 s gap sits inside a dilated voiced region: find the
+    # gap's sample range and require it kept
+    g0 = int(sr * (1.5 + 1.0))
+    g1 = g0 + int(sr * 0.15)
+    assert mask[g0:g1].mean() > 0.9
