@@ -167,6 +167,54 @@ def convert_pwg(ckpt_path: str, model) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# MelGAN generator (reference: modules/parallel_wavegan/models/melgan.py:18-158)
+# ---------------------------------------------------------------------------
+
+def convert_melgan_generator(sd: Dict[str, np.ndarray],
+                             upsample_scales=(8, 8, 2, 2),
+                             stacks: int = 3,
+                             use_causal_conv: bool = False) -> Dict[str, Any]:
+    """Map the reference MelGANGenerator state_dict (a flat torch Sequential
+    named ``melgan.{i}``) onto our named Flax tree, mirroring the reference's
+    construction order (melgan.py:66-137). The causal variant wraps convs in
+    CausalConv1d/CausalConvTranspose1d whose params live under ``.conv`` /
+    ``.deconv`` (layers/causal_conv.py:12-56)."""
+    sd = fold_weight_norm(sd)
+    p: Dict[str, Any] = {}
+
+    def conv_at(i):
+        pre = f"melgan.{i}.conv" if use_causal_conv else f"melgan.{i}"
+        return _conv(sd, pre)
+
+    i = 0
+    if not use_causal_conv:
+        i += 1  # ReflectionPad1d
+    p["conv_pre"] = conv_at(i)
+    i += 1
+    for si in range(len(upsample_scales)):
+        i += 1  # activation
+        pre = f"melgan.{i}.deconv" if use_causal_conv else f"melgan.{i}"
+        p[f"up_{si}"] = convt1d_to_flax(sd[f"{pre}.weight"],
+                                        sd.get(f"{pre}.bias"))
+        i += 1
+        for j in range(stacks):
+            base = f"melgan.{i}.stack"
+            dil = (f"{base}.1.conv" if use_causal_conv else f"{base}.2")
+            one = f"{base}.3" if use_causal_conv else f"{base}.4"
+            p[f"stack_{si}_{j}"] = {
+                "conv_dilated": _conv(sd, dil),
+                "conv_1x1": _conv(sd, one),
+                "skip": _conv(sd, f"melgan.{i}.skip_layer"),
+            }
+            i += 1
+    i += 1  # activation
+    if not use_causal_conv:
+        i += 1  # ReflectionPad1d
+    p["conv_post"] = conv_at(i)
+    return p
+
+
+# ---------------------------------------------------------------------------
 # GE2E speaker encoder (Resemblyzer VoiceEncoder)
 # ---------------------------------------------------------------------------
 

@@ -580,3 +580,84 @@ def test_hifigan_torch_mel_frontend_parity(ref):
         mel_utils.librosa_mel_fn = orig_fn
         mel_utils.mel_basis.clear()
         mel_utils.mel_basis.update(orig_basis)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_melgan_generator_parity(ref, causal):
+    """MelGANGenerator, non-causal (reflection-padded) and causal
+    (streaming) variants, through convert_melgan_generator.
+    Reference: modules/parallel_wavegan/models/melgan.py:18-158,
+    layers/causal_conv.py:12-56, layers/residual_stack.py:53-60."""
+    import modules.parallel_wavegan.models.melgan as ref_melgan
+
+    from neuralsvb_tpu.convert.torch2jax import convert_melgan_generator
+    from neuralsvb_tpu.models.melgan import MelGANGenerator
+
+    scales, stacks, ch, cin = [4, 4, 2], 2, 64, 12
+    tg = ref_melgan.MelGANGenerator(
+        in_channels=cin, out_channels=1, kernel_size=7, channels=ch,
+        upsample_scales=scales, stack_kernel_size=3, stacks=stacks,
+        use_causal_conv=causal)
+    tg.eval()
+
+    rng = np.random.RandomState(3)
+    c = rng.randn(2, 20, cin).astype(np.float32)
+    with torch.no_grad():
+        want = tg(torch.tensor(c.transpose(0, 2, 1)))[:, 0].numpy()
+
+    params = convert_melgan_generator(sd_numpy(tg), scales, stacks,
+                                      use_causal_conv=causal)
+    jm = MelGANGenerator(in_channels=cin, channels=ch,
+                         upsample_scales=tuple(scales), stacks=stacks,
+                         use_causal_conv=causal)
+    params, _ = load_params(jm, (jnp.asarray(c),), {}, params)
+    got = jm.apply({"params": params}, jnp.asarray(c))
+    agree(want, got, 1e-4, f"melgan generator causal={causal}")
+
+    if causal:
+        # streaming property: wav[: t0*prod(scales)] must not depend on
+        # input frames >= t0
+        c2 = c.copy()
+        c2[:, 12:] += 1.0
+        got2 = jm.apply({"params": params}, jnp.asarray(c2))
+        n = 12 * int(np.prod(scales))
+        agree(np.asarray(got)[:, :n], np.asarray(got2)[:, :n], 0,
+              "melgan causal prefix")
+
+
+def test_melgan_discriminator_parity(ref):
+    """MelGANMultiScaleDiscriminator with the official pooling
+    (AvgPool1d count_include_pad=False) and reflection-padded first conv.
+    Reference: modules/parallel_wavegan/models/melgan.py:194-394."""
+    import modules.parallel_wavegan.models.melgan as ref_melgan
+
+    from neuralsvb_tpu.convert.torch2jax import _conv, conv1d_to_flax
+    from neuralsvb_tpu.models.melgan import MelGANMultiScaleDiscriminator
+
+    td = ref_melgan.MelGANMultiScaleDiscriminator()
+    td.eval()
+    sd = sd_numpy(td)
+
+    def scale_params(d):
+        p = {"conv_0": _conv(sd, f"discriminators.{d}.layers.0.1")}
+        for i in range(1, 5):
+            p[f"conv_{i}"] = _conv(sd, f"discriminators.{d}.layers.{i}.0")
+        p["conv_5"] = _conv(sd, f"discriminators.{d}.layers.5.0")
+        p["conv_post"] = _conv(sd, f"discriminators.{d}.layers.6")
+        return p
+
+    converted = {f"scale_{d}": scale_params(d) for d in range(3)}
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 4096).astype(np.float32) * 0.3
+    jm = MelGANMultiScaleDiscriminator()
+    params, _ = load_params(jm, (jnp.asarray(x),), {}, converted)
+    got = jm.apply({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        want = td(torch.tensor(x)[:, None])
+    for d in range(3):
+        # reference returns per-layer outputs; ours (score, fmaps): score is
+        # the last layer, fmaps[:-1] are the activated intermediates
+        agree(want[d][-1][:, 0].numpy(), got[d][0], 1e-4, f"disc scale {d}")
+        for li in range(6):
+            agree(want[d][li].numpy().transpose(0, 2, 1), got[d][1][li],
+                  1e-4, f"disc scale {d} fmap {li}")
