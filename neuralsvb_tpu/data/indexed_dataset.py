@@ -9,6 +9,7 @@ directly.
 
 from __future__ import annotations
 
+import os
 import pickle
 from copy import deepcopy
 
@@ -20,6 +21,7 @@ class IndexedDataset:
         self.path = path
         self.data_offsets = np.load(f"{path}.idx", allow_pickle=True).item()["offsets"]
         self.data_file = open(f"{path}.data", "rb", buffering=-1)
+        self._pid = os.getpid()
         self.cache = []
         self.num_cache = num_cache
 
@@ -31,14 +33,30 @@ class IndexedDataset:
         if getattr(self, "data_file", None):
             self.data_file.close()
 
+    def _fileno(self):
+        # A dataset captured across a fork (mp.Pool workers) inherits the
+        # parent's file object. Reopen once per process, and read with
+        # os.pread below: it takes an explicit offset, so neither forked
+        # processes nor prefetch threads can race the shared fd position.
+        if os.getpid() != self._pid:
+            self.data_file = open(f"{self.path}.data", "rb", buffering=0)
+            self._pid = os.getpid()
+        return self.data_file.fileno()
+
     def __getitem__(self, i: int):
         self.check_index(i)
         if self.num_cache > 0:
             for c in self.cache:
                 if c[0] == i:
                     return c[1]
-        self.data_file.seek(self.data_offsets[i])
-        b = self.data_file.read(self.data_offsets[i + 1] - self.data_offsets[i])
+        off = self.data_offsets[i]
+        n = self.data_offsets[i + 1] - off
+        b = os.pread(self._fileno(), n, off)
+        while len(b) < n:  # pread may return short on signals/EINTR
+            more = os.pread(self._fileno(), n - len(b), off + len(b))
+            if not more:
+                raise EOFError(f"short read at item {i} of {self.path}")
+            b += more
         item = pickle.loads(b)
         if self.num_cache > 0:
             self.cache = [(i, deepcopy(item))] + self.cache[:-1]

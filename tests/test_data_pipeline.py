@@ -35,6 +35,40 @@ def test_indexed_dataset_roundtrip(tmp_path):
         np.testing.assert_array_equal(ds[i]["a"], items[i]["a"])
 
 
+def test_indexed_dataset_concurrent_readers(tmp_path):
+    """One dataset object shared by ThreadPool workers (the
+    pitch_alignment_task.evaluate pattern) must not race the fd position:
+    reads use os.pread with explicit offsets. Also covers a forked child
+    inheriting the parent's open dataset."""
+    from multiprocessing.pool import ThreadPool
+
+    path = str(tmp_path / "ds")
+    items = [{"i": i, "a": np.full([4096], i, np.float32)} for i in range(8)]
+    b = IndexedDatasetBuilder(path)
+    for it in items:
+        b.add_item(it)
+    b.finalize()
+    ds = IndexedDataset(path, num_cache=0)
+    assert ds[3]["i"] == 3  # open + move the parent's fd position
+    with ThreadPool(4) as pool:
+        got = pool.map(lambda i: ds[i % 8]["i"], range(256))
+    assert got == [i % 8 for i in range(256)]
+
+    r, w = os.pipe()
+    pid = os.fork()
+    if pid == 0:  # child: inherited dataset must reopen per-process
+        try:
+            ok = ds[5]["i"] == 5 and int(ds[5]["a"][0]) == 5
+            os.write(w, b"1" if ok else b"0")
+        finally:
+            os._exit(0)
+    os.close(w)
+    assert os.read(r, 1) == b"1"
+    os.close(r)
+    os.waitpid(pid, 0)
+    np.testing.assert_array_equal(ds[6]["a"], items[6]["a"])
+
+
 def test_batch_by_size():
     sizes = [10, 20, 30, 40, 50, 60]
     batches = batch_by_size(range(6), lambda i: sizes[i], max_tokens=100)
