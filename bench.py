@@ -329,6 +329,52 @@ def bench_train_step(n_frames: int = 1536, batch: int = 12, iters: int = 5):
         wall = max(time.perf_counter() - t0 - rtt, 1e-9) / (K * n_calls)
         out[f"train_{name}_cycle_wall_ms"] = round(wall * 1e3, 1)
     out["train_rtt_ms"] = round(rtt * 1e3, 1)
+
+    # bf16 training (compute_dtype: bfloat16 — params f32, model body bf16):
+    # phase-2 step-time ratio vs the f32 run above, same methodology
+    try:
+        hparams["compute_dtype"] = "bfloat16"
+        task_b = SVBVAEMleTask()
+        task_b.build_model()
+
+        def cycle_b(step):
+            total = None
+            for opt in range(task_b.num_optimizers):
+                ret = task_b.training_step(b, step, opt)
+                if ret is not None:
+                    total = ret[0]
+            return total
+
+        total = cycle_b(5)  # compile
+        float(jax.device_get(total))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            total = cycle_b(5)
+        float(jax.device_get(total))
+        wall = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
+        dev = 0.0
+        try:
+            trace_dir = tempfile.mkdtemp(prefix="nsvb_bench_")
+            with profiler_trace(trace_dir):
+                t1 = cycle_b(5)
+                t1 = cycle_b(5)
+                float(jax.device_get(t1))
+            dev = max(device_busy_from_xplane(trace_dir).values(),
+                      default=0.0) / 2
+        except Exception:
+            pass
+        if dev and wall < dev * 0.98:
+            selfcheck.append(f"train_phase2_bf16: wall {wall * 1e3:.1f} ms "
+                             f"< device {dev * 1e3:.1f} ms")
+            wall = dev
+        out["train_phase2_bf16_wall_ms"] = round(wall * 1e3, 1)
+        out["train_phase2_bf16_device_ms"] = (round(dev * 1e3, 1)
+                                              if dev else None)
+    except Exception as exc:  # noqa: BLE001 — bf16 row is best-effort
+        out["train_bf16_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    finally:
+        hparams["compute_dtype"] = hp.get("compute_dtype", "float32")
+
     if selfcheck:
         out["train_selfcheck"] = "; ".join(selfcheck)
     return out
