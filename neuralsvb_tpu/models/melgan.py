@@ -105,6 +105,33 @@ class MelGANGenerator(nn.Module):
         return jnp.tanh(x)[..., 0]
 
 
+def melgan_stream(model: "MelGANGenerator", variables, mel, chunk: int = 32,
+                  context: int = 64):
+    """Chunked streaming inference with a causal generator.
+
+    Re-runs the generator on [context + chunk] mel frames per step and
+    emits only the new tail; with ``use_causal_conv=True`` outputs depend
+    only on past frames, so chunked == full-utterance output exactly once
+    ``context`` covers the receptive field (conv_pre k-1, plus each
+    scale's deconv + dilated stacks divided by the cumulative upsample —
+    ~a dozen frames at the shipped dims). Per-chunk latency is one
+    [context+chunk]-frame forward instead of the whole utterance.
+
+    mel: [B, T, in] -> wav [B, T * prod(upsample_scales)].
+    """
+    assert model.use_causal_conv, "streaming needs use_causal_conv=True"
+    s = 1
+    for sc in model.upsample_scales:
+        s *= sc
+    t_total = mel.shape[1]
+    outs = []
+    for t0 in range(0, t_total, chunk):
+        lo = max(0, t0 - context)
+        y = model.apply(variables, mel[:, lo: t0 + chunk])
+        outs.append(y[:, (t0 - lo) * s:])
+    return jnp.concatenate(outs, axis=1)
+
+
 class MelGANDiscriminatorScale(nn.Module):
     """reference: modules/parallel_wavegan/models/melgan.py:194-300.
     First conv reflection-pads (k=15); strided grouped convs zero-pad."""

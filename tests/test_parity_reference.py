@@ -661,3 +661,21 @@ def test_melgan_discriminator_parity(ref):
         for li in range(6):
             agree(want[d][li].numpy().transpose(0, 2, 1), got[d][1][li],
                   1e-4, f"disc scale {d} fmap {li}")
+
+
+def test_melgan_streaming_chunked_equals_full():
+    """Causal MelGAN chunked streaming (melgan_stream) reproduces the
+    full-utterance forward exactly once the context covers the receptive
+    field."""
+    from neuralsvb_tpu.models.melgan import MelGANGenerator, melgan_stream
+
+    m = MelGANGenerator(in_channels=10, channels=64, upsample_scales=(4, 4, 2),
+                        stacks=2, use_causal_conv=True)
+    rng = np.random.RandomState(11)
+    mel = jnp.asarray(rng.randn(2, 50, 10).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), mel)
+    full = m.apply(v, mel)
+    chunked = melgan_stream(m, v, mel, chunk=7, context=24)
+    assert chunked.shape == full.shape
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               rtol=0, atol=1e-6)
