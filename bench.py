@@ -122,7 +122,7 @@ def bench_vocoder_rtf(n_frames: int = 2048, iters: int = 10, warmup: int = 2,
     import jax
     import jax.numpy as jnp
 
-    from neuralsvb_tpu.utils.profiling import (compiled_flops,
+    from neuralsvb_tpu.utils.profiling import (compiled_cost,
                                                relay_rtt_seconds)
 
     model, params, ckpt_used = _vocoder_model_and_params()
@@ -157,10 +157,10 @@ def bench_vocoder_rtf(n_frames: int = 2048, iters: int = 10, warmup: int = 2,
         lambda i, c: run(params, mel, f0, jax.random.fold_in(key, i),
                          zero if c is None else c),
         lambda c: float(jax.device_get(c)), iters, rtt)
-    flops = compiled_flops(run, params, mel, f0, key, zero)
+    cost = compiled_cost(run, params, mel, f0, key, zero)
     audio_sec = n_frames * HOP / SR
-    m.update(audio_sec=audio_sec, rtt_s=rtt, flops=flops,
-             ckpt=ckpt_used)
+    m.update(audio_sec=audio_sec, rtt_s=rtt, flops=cost["flops"],
+             bytes=cost["bytes"], ckpt=ckpt_used)
     return m
 
 
@@ -176,7 +176,7 @@ def bench_e2e_svb(n_frames: int = 1536, iters: int = 5, warmup: int = 2,
     from __graft_entry__ import _batch, _flagship_hparams
     from neuralsvb_tpu.hparams import hparams
     from neuralsvb_tpu.models.svb_vae import SVBVAE
-    from neuralsvb_tpu.utils.profiling import (compiled_flops,
+    from neuralsvb_tpu.utils.profiling import (compiled_cost,
                                                relay_rtt_seconds)
 
     hp = _flagship_hparams()
@@ -220,8 +220,9 @@ def bench_e2e_svb(n_frames: int = 1536, iters: int = 5, warmup: int = 2,
         lambda i, c: e2e(*args, jax.random.fold_in(key, i),
                          zero if c is None else c),
         lambda c: float(jax.device_get(c)), iters, rtt)
+    cost = compiled_cost(e2e, *args, key, zero)
     m.update(audio_sec=n_frames * HOP / SR, batch=batch, rtt_s=rtt,
-             flops=compiled_flops(e2e, *args, key, zero))
+             flops=cost["flops"], bytes=cost["bytes"])
     return m
 
 
@@ -459,9 +460,20 @@ def main():
         if voc_tflops else None,
         "vocoder_mfu_vs_bf16_peak": round(voc_mfu, 4) if voc_mfu else None,
         "vocoder_ckpt": v["ckpt"],
+        "vocoder_bytes_per_call": v.get("bytes") or None,
         "audio_sec_per_call": round(v["audio_sec"], 3),
         "relay_rtt_ms": round(v["rtt_s"] * 1e3, 1),
     }
+    # speed-of-light: execution-time lower bound from XLA's flop/byte counts
+    # vs this chip's MXU peak and HBM bandwidth (the honest ceiling for the
+    # bandwidth-bound vocoder tail, where raw MFU understates utilization)
+    from neuralsvb_tpu.utils.profiling import roofline
+    lb, frac, bound = roofline(v["flops"], v.get("bytes", 0.0), v["device_s"])
+    if frac:
+        detail["vocoder_roofline_ms"] = round(lb * 1e3, 1)
+        detail["vocoder_roofline_frac"] = round(frac, 3)
+        detail["vocoder_roofline_bound"] = bound
+
     selfchecks = []
     if not v["selfcheck_ok"]:
         selfchecks.append(
@@ -495,6 +507,11 @@ def main():
                 detail["e2e_achieved_tflops"] = round(tf / 1e12, 2) if tf else None
                 detail["e2e_mfu_vs_bf16_peak"] = round(mfu, 4) if mfu else None
                 detail["e2e_utt_audio_sec"] = round(e["audio_sec"], 2)
+                lb, frac, bound = roofline(e["flops"], e.get("bytes", 0.0),
+                                           e["device_s"])
+                if frac:
+                    detail["e2e_roofline_frac"] = round(frac, 3)
+                    detail["e2e_roofline_bound"] = bound
             if not e["selfcheck_ok"]:
                 selfchecks.append(
                     f"e2e{tag}: raw wall {e['raw_wall_s'] * 1e3:.1f} ms < "

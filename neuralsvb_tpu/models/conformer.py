@@ -9,6 +9,7 @@ modules/commons/espnet_transformer_attn.py:106-186) in [B, T, C] layout.
 from __future__ import annotations
 
 import math
+from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -84,17 +84,26 @@ def relay_rtt_seconds(n: int = 5) -> float:
     return sorted(ts)[len(ts) // 2]
 
 
-def compiled_flops(jitted, *args, **kwargs) -> float:
-    """FLOPs of one call from XLA's own cost model
-    (``jit(f).lower(...).compile().cost_analysis()``). Returns 0.0 when the
-    backend reports no cost analysis."""
+def compiled_cost(jitted, *args, **kwargs) -> dict:
+    """FLOPs and bytes accessed of one call from XLA's own cost model
+    (``jit(f).lower(...).compile().cost_analysis()``), computed on the
+    optimized (post-fusion) HLO — "bytes accessed" sums each fused
+    computation's external operand/output bytes, a reasonable proxy for
+    HBM traffic. Returns zeros when the backend reports no analysis."""
     try:
         ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
     except Exception:
-        return 0.0
+        return {"flops": 0.0, "bytes": 0.0}
     if isinstance(ca, (list, tuple)):
         ca = ca[0] if ca else {}
-    return float(ca.get("flops", 0.0) or 0.0) if ca else 0.0
+    ca = ca or {}
+    return {"flops": float(ca.get("flops", 0.0) or 0.0),
+            "bytes": float(ca.get("bytes accessed", 0.0) or 0.0)}
+
+
+def compiled_flops(jitted, *args, **kwargs) -> float:
+    """FLOPs of one call from XLA's own cost model (see compiled_cost)."""
+    return compiled_cost(jitted, *args, **kwargs)["flops"]
 
 
 #: Dense bf16 peak FLOP/s per chip by ``jax.devices()[0].device_kind``.
@@ -111,13 +120,50 @@ PEAK_BF16_FLOPS = {
 }
 
 
-def peak_flops_for_device() -> float:
+#: HBM bandwidth per chip (bytes/s), same keying as PEAK_BF16_FLOPS.
+PEAK_HBM_BYTES = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5": 2765e9,
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,
+    "TPU v6e": 1640e9,
+}
+
+
+def _lookup_device_table(table) -> float:
     import jax
     kind = jax.devices()[0].device_kind
-    for k, v in PEAK_BF16_FLOPS.items():
+    for k, v in table.items():
         if kind.startswith(k) or k in kind:
             return v
     return 0.0
+
+
+def peak_flops_for_device() -> float:
+    return _lookup_device_table(PEAK_BF16_FLOPS)
+
+
+def peak_hbm_bytes_for_device() -> float:
+    return _lookup_device_table(PEAK_HBM_BYTES)
+
+
+def roofline(flops: float, bytes_accessed: float, device_s: float):
+    """Speed-of-light analysis for one compiled program: the execution-time
+    lower bound is max(flops/peak_FLOP/s, bytes/HBM_BW) — whichever resource
+    binds. Returns (lower_bound_s, fraction_of_roofline, binding_resource)
+    where fraction = lower_bound / measured device time (1.0 = the hardware
+    limit; raw MFU understates bandwidth-bound programs). None when the
+    device is unknown or inputs are missing."""
+    peak_f, peak_b = peak_flops_for_device(), peak_hbm_bytes_for_device()
+    if not (peak_f and peak_b and device_s and (flops or bytes_accessed)):
+        return None, None, None
+    t_flops = flops / peak_f
+    t_bytes = bytes_accessed / peak_b
+    bound = max(t_flops, t_bytes)
+    which = "compute" if t_flops >= t_bytes else "bandwidth"
+    return bound, bound / device_s, which
 
 
 def _merged_span_seconds(line) -> float:

@@ -56,6 +56,37 @@ def test_timer_and_rtf():
     assert abs(m.rtf - 0.05) < 1e-9
 
 
+def test_compiled_cost_and_roofline():
+    """compiled_cost returns XLA's flop/byte counts; roofline picks the
+    binding resource and a sane lower bound."""
+    import jax
+    import jax.numpy as jnp
+    from neuralsvb_tpu.utils import profiling as P
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    c = P.compiled_cost(f, jnp.ones((128, 128), jnp.float32))
+    if not c["flops"]:  # backend without cost analysis
+        return
+    assert abs(c["flops"] - 2 * 128 ** 3) / (2 * 128 ** 3) < 0.1
+    assert c["bytes"] >= 2 * 128 * 128 * 4  # at least operand+output traffic
+
+    # known peaks: 100 GFLOP/s, 10 GB/s (monkeypatched table lookup)
+    orig_f, orig_b = P.peak_flops_for_device, P.peak_hbm_bytes_for_device
+    P.peak_flops_for_device = lambda: 100e9
+    P.peak_hbm_bytes_for_device = lambda: 10e9
+    try:
+        # compute-bound: 1 GFLOP / 1 KB -> bound 10 ms
+        lb, frac, which = P.roofline(1e9, 1e3, 20e-3)
+        assert which == "compute" and abs(lb - 10e-3) < 1e-9
+        assert abs(frac - 0.5) < 1e-9
+        # bandwidth-bound: 1 KFLOP / 100 MB -> bound 10 ms
+        lb, frac, which = P.roofline(1e3, 100e6, 10e-3)
+        assert which == "bandwidth" and abs(frac - 1.0) < 1e-9
+        assert P.roofline(0.0, 0.0, 1e-3) == (None, None, None)
+    finally:
+        P.peak_flops_for_device, P.peak_hbm_bytes_for_device = orig_f, orig_b
+
+
 def test_mcd_eval_dirs(tmp_path, capsys):
     """mcd_eval harness: matches by basename, 0 dB on identical mels,
     positive on perturbed."""
