@@ -134,13 +134,16 @@ def bench_vocoder_rtf(n_frames: int = 2048, iters: int = 10, warmup: int = 2,
     @jax.jit
     def run(params, mel, f0, key, carry):
         # carry * 0 creates the cross-call data dependency; it adds one
-        # scalar broadcast to the program, nothing measurable
+        # scalar broadcast to the program, nothing measurable. The carry is
+        # cast to the compute dtype BEFORE the add — a float32 carry would
+        # silently promote the bf16 mel (and every layer after it) to f32.
         if cdt is not None:
             params = jax.tree_util.tree_map(
                 lambda p: p.astype(cdt) if p.dtype == jnp.float32 else p,
                 params)
             mel = mel.astype(cdt)
-        wav = model.apply({"params": params}, mel + carry * 0.0, f0,
+        wav = model.apply({"params": params},
+                          mel + (carry * 0.0).astype(mel.dtype), f0,
                           rngs={"noise": key})
         return jnp.sum(wav.astype(jnp.float32))
 

@@ -187,7 +187,10 @@ def trim_long_silences(wav: np.ndarray, sr: int,
     # dilate voiced regions: silences <= vad_max_silence_length windows
     # between speech survive (scipy-free 1-D binary_dilation)
     k = vad_max_silence_length + 1
-    half_l, half_r = (k - 1) // 2, k // 2
+    # scipy's even-size structuring element is centered at k//2, which
+    # spreads k//2 LEFT and k//2-1 right (verified against
+    # scipy.ndimage.binary_dilation; odd k is symmetric)
+    half_l, half_r = k // 2, (k - 1) // 2
     idx = np.flatnonzero(audio_mask)
     dilated = np.zeros(n, bool)
     for i in idx:

@@ -113,12 +113,14 @@ _WIRE_DTYPES = {"mels": np.float16, "prof_mels": np.float16,
                 "a2p_f0_alignment": np.int16}
 _COMPUTE_DTYPES = {"<f2": jnp.float32, "<i2": jnp.int32}
 # wire_dtype: int8 — lossy log-mel quantization for interconnect-bound
-# setups (halves the dominant wire bytes vs f16). Log10-mels live in
-# [-10, 2] (log10(max(1e-10, mel)), reference: data_gen_utils.py:93-147);
-# mid -4 / scale 12/254 covers that span at ~0.047 LSB — above f16
-# rounding but below typical mel-estimation noise. Opt-in only.
+# setups (halves the dominant wire bytes vs f16). Log10-mels floor at -10
+# (log10(max(1e-10, mel)), reference: data_gen_utils.py:93-147) and loud
+# frames can mildly exceed log10 2; mid -3.5 / scale 13/254 covers
+# [-10, 3] at ~0.051 LSB — above f16 rounding but below typical
+# mel-estimation noise. Out-of-window inputs raise in wire_pack (silently
+# clipping would flatten spectrogram tails). Opt-in only.
 _I8_KEYS = ("mels", "prof_mels")
-_I8_MID, _I8_SCALE = -4.0, 12.0 / 254.0
+_I8_MID, _I8_SCALE = -3.5, 13.0 / 254.0
 
 
 def wire_pack(b: Dict[str, Any]):
@@ -131,8 +133,18 @@ def wire_pack(b: Dict[str, Any]):
     for k in sorted(b):
         src = np.asarray(b[k])
         if int8_mels and k in _I8_KEYS:
-            q = np.clip(np.rint((src - _I8_MID) / _I8_SCALE),
-                        -127, 127).astype(np.int8)
+            q = np.rint((src - _I8_MID) / _I8_SCALE)
+            if src.size and (q.max() > 127 or q.min() < -127):
+                # clipping would silently flatten the spectrogram tails;
+                # mirror the int16 overflow guard below (log10-mels from
+                # the shipped frontend always fit [-10, 2])
+                raise ValueError(
+                    f"wire_pack: '{k}' range [{src.min():.2f}, "
+                    f"{src.max():.2f}] exceeds the int8 log-mel window "
+                    f"[{_I8_MID - 127 * _I8_SCALE:.1f}, "
+                    f"{_I8_MID + 127 * _I8_SCALE:.1f}]; use wire_dtype: "
+                    f"float16 for non-log10 mel frontends")
+            q = q.astype(np.int8)
             metas.append((k, "|q1", q.shape[1:]))
             parts.append(q.reshape(B, -1).view(np.uint8))
             continue
@@ -775,10 +787,12 @@ class SVBVAETaskBase(BaseTask):
 
     def prepare_cycle(self, batches):
         """Host pack + (async) device transfer of a K-step window:
-        returns an opaque handle for :meth:`training_cycle`. Calling this
-        ahead of time — the Trainer does it from a prefetch thread —
-        overlaps window N+1's pack/transfer with window N's device compute;
-        the transfer is the wall bottleneck on interconnect-bound setups
+        returns an opaque handle for :meth:`training_cycle`. The Trainer
+        calls this from a one-slot prefetch thread the moment a window
+        fills and dispatches the PREVIOUS window meanwhile (one-window-deep
+        software pipeline, training/trainer.py flush_window), overlapping
+        window N+1's pack/transfer with window N's device compute; the
+        transfer is the wall bottleneck on interconnect-bound setups
         (profiled: 30 MB/window through the remote relay vs ~190 ms of
         device compute; scripts/profile_cycle.py)."""
         K = len(batches)
@@ -926,6 +940,7 @@ class SVBVAETaskBase(BaseTask):
         self.saving_results_futures = []
         self.vocoder = get_vocoder_cls(hparams)(dict(hparams))
         self.results_id = 0
+        self._n_infer_utts = 0  # total across batches (results_id resets)
 
     def test_step(self, batch, batch_idx: int):
         import time
@@ -970,6 +985,7 @@ class SVBVAETaskBase(BaseTask):
                 mels_dict[f"{way}_mel"] = mel
             base_fn = f"[{self.results_id:06d}][{item_name}][P]".replace(" ", "_")
             self.results_id += 1
+            self._n_infer_utts += 1
             self.saving_results_futures.append(
                 self.saving_result_pool.apply_async(
                     self.save_result,
@@ -1006,7 +1022,7 @@ class SVBVAETaskBase(BaseTask):
         self.saving_result_pool.join()
         if hparams.get("profile_infer") and hasattr(self, "_rtf_meter"):
             m = self._rtf_meter
-            print(f"| profile_infer: {self.results_id} utts "
+            print(f"| profile_infer: {self._n_infer_utts} utts "
                   f"({len(outputs)} batches), {m.audio_sec:.1f}s audio in "
                   f"{m.compute_sec:.2f}s wall -> RTF {m.rtf:.5f}")
         return {}

@@ -18,6 +18,7 @@ import os
 import sys
 import time
 import traceback
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import jax
@@ -160,13 +161,27 @@ class Trainer:
         # windows (shape change, boundary) fall back to per-step dispatch.
         K = int(hparams.get("steps_per_dispatch", 1) or 1)
         use_cycle = K > 1 and hasattr(task, "training_cycle")
-        if use_cycle and int(hparams.get("disc_interval", 1)) != 1:
+        disc_possible = (hparams.get("mel_gan")
+                         and hparams.get("lambda_mel_adv", 0) > 0)
+        if (use_cycle and disc_possible
+                and int(hparams.get("disc_interval", 1)) != 1):
             # the fused scan cannot skip discriminator steps; running it
-            # would silently drop all D updates (ADVICE r2)
+            # would silently drop all D updates (ADVICE r2). Non-GAN configs
+            # (mel_gan off / zero adv weight) never run D, so disc_interval
+            # is irrelevant there and the fused path stays on.
             print("| steps_per_dispatch > 1 requires disc_interval == 1; "
                   "falling back to per-step dispatch")
             use_cycle = False
         window, window_sig = [], None
+        # one-window-deep software pipeline (VERDICT r2 #3): when a window
+        # fills, its host pack + device transfer is submitted to a prefetch
+        # thread and the PREVIOUS window is dispatched — so window N+1's
+        # pack/relay-transfer overlaps window N's (async) device compute.
+        # `pending` steps are already counted in global_step; everything
+        # that observes task.state (validation, checkpointing, per-step
+        # fallback) dispatches the pending window first.
+        prefetch_pool = ThreadPoolExecutor(1) if use_cycle else None
+        pending = None  # (batches, prepared-future, start_step)
 
         def step_one(batch):
             logs = {}
@@ -182,22 +197,34 @@ class Trainer:
             pbar.update(1)
             return logs
 
-        def flush_window():
-            nonlocal window
-            if not window:
+        def dispatch_pending():
+            nonlocal pending
+            if pending is None:
                 return {}
+            win, fut, start = pending
+            pending = None
+            cycle_logs = task.training_cycle(win, start,
+                                             prepared=fut.result())
+            return {k: v[-1] for k, v in cycle_logs.items()}
+
+        def flush_window():
+            nonlocal window, pending
+            if not window:
+                return dispatch_pending()
             if len(window) == K:  # full window -> one fused dispatch
                 if not getattr(self, "_cycle_announced", False):
                     self._cycle_announced = True
                     print(f"| fused dispatch engaged: {K} steps per "
-                          f"lax.scan cycle")
-                cycle_logs = task.training_cycle(window, self.global_step)
+                          f"lax.scan cycle (pipelined transfer)")
+                start = self.global_step
+                fut = prefetch_pool.submit(task.prepare_cycle, window)
+                logs = dispatch_pending()  # window N-1; its transfer is done
+                pending = (window, fut, start)
                 self.global_step += K
                 task.global_step = self.global_step
                 pbar.update(K)
-                logs = {k: v[-1] for k, v in cycle_logs.items()}
             else:  # ragged window -> per-step (avoids scan-length recompiles)
-                logs = {}
+                logs = dispatch_pending()
                 for b in window:
                     logs = step_one(b)
             window = []
@@ -213,7 +240,8 @@ class Trainer:
                 try:
                     batch = next(train_loader)
                 except StopIteration:
-                    flush_window()
+                    self._maybe_log(flush_window(), pbar)
+                    dispatch_pending()  # epoch hooks must see final state
                     task.on_epoch_end()
                     self.current_epoch += 1
                     task.current_epoch = self.current_epoch
@@ -241,11 +269,17 @@ class Trainer:
                     logs = step_one(batch)
                 self._maybe_log(logs, pbar)
                 if self.global_step % self.val_check_interval == 0:
+                    self._maybe_log(dispatch_pending(), pbar)
                     self.run_evaluation(task)
+            self._maybe_log(flush_window(), pbar)
+            self._maybe_log(dispatch_pending(), pbar)
         except KeyboardInterrupt:
             print("| KeyboardInterrupt: saving and exiting.")
+            dispatch_pending()
             task.on_keyboard_interrupt()
             self._save(task)
+        if prefetch_pool is not None:
+            prefetch_pool.shutdown(wait=True)
         pbar.close()
         task.on_train_end() if hasattr(task, "on_train_end") else None
         self._save(task)

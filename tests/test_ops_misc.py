@@ -1,6 +1,7 @@
 """SSIM / pitch-utils / CWT tests."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -103,6 +104,24 @@ def test_world_mcep_helpers():
     out = formant_enhancement(mc.copy(), 0.3, 22050)
     assert out.shape == mc.shape and np.isfinite(out).all()
     assert not np.allclose(out, mc)
+
+
+def test_binary_dilation_matches_scipy_convention():
+    """The scipy-free dilation in trim_long_silences must spread voiced
+    windows exactly like scipy.ndimage.binary_dilation with a size-k
+    element: k//2 LEFT, (k-1)//2 right (even k is asymmetric; scipy
+    centers the element at k//2)."""
+    pytest.importorskip("scipy")
+    from scipy.ndimage import binary_dilation
+    rng = np.random.RandomState(3)
+    for k in (4, 11, 12, 13):
+        a = rng.rand(40) < 0.2
+        want = binary_dilation(a, np.ones(k, bool))
+        half_l, half_r = k // 2, (k - 1) // 2  # audio.py convention
+        got = np.zeros_like(a)
+        for i in np.flatnonzero(a):
+            got[max(0, i - half_l): i + half_r + 1] = True
+        np.testing.assert_array_equal(got, want, err_msg=f"k={k}")
 
 
 def test_trim_long_silences_pipeline():

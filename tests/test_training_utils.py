@@ -153,3 +153,28 @@ def test_wire_pack_rejects_int16_overflow():
          "a2p_f0_alignment": np.full((2, 4), 40000, np.int32)}
     with pytest.raises(ValueError, match="int16"):
         wire_pack(b)
+
+
+def test_wire_pack_rejects_int8_out_of_window():
+    """int8 log-mel quantization must raise (like the int16 guard), not
+    silently clip, when mels fall outside the [-10, 2] log10 window."""
+    import numpy as np
+    import pytest
+    from neuralsvb_tpu.hparams import hparams
+    from neuralsvb_tpu.tasks.svb_vae_task import wire_pack
+
+    saved = hparams.get("wire_dtype")
+    hparams["wire_dtype"] = "int8"
+    try:
+        ok = {"mels": np.full((2, 4, 8), -9.5, np.float32),
+              "prof_mels": np.full((2, 4, 8), 1.5, np.float32)}
+        wire_pack(ok)  # in-window values pack fine
+        bad = {"mels": np.full((2, 4, 8), -23.0, np.float32),
+               "prof_mels": np.zeros((2, 4, 8), np.float32)}
+        with pytest.raises(ValueError, match="int8"):
+            wire_pack(bad)
+    finally:
+        if saved is None:
+            hparams.pop("wire_dtype", None)
+        else:
+            hparams["wire_dtype"] = saved
