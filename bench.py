@@ -332,6 +332,27 @@ def bench_train_step(n_frames: int = 1536, batch: int = 12, iters: int = 5):
         float(jax.device_get(next(iter(logs.values()))[-1]))
         wall = max(time.perf_counter() - t0 - rtt, 1e-9) / (K * n_calls)
         out[f"train_{name}_cycle_wall_ms"] = round(wall * 1e3, 1)
+
+    # pipelined cycle — the production Trainer pattern (one-window-deep
+    # prefetch: window N+1's prepare_cycle host pack + transfer runs on a
+    # thread while window N dispatches; training/trainer.py flush_window)
+    from concurrent.futures import ThreadPoolExecutor
+    batches = [b] * K
+    step = 5
+    logs = task.training_cycle(batches, step)  # re-warm phase 2
+    float(jax.device_get(next(iter(logs.values()))[-1]))
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(1) as pool:
+        fut = pool.submit(task.prepare_cycle, batches)
+        for c in range(n_calls):
+            prepared, fut = fut.result(), pool.submit(
+                task.prepare_cycle, batches)
+            logs = task.training_cycle(batches, step + (c + 1) * K,
+                                       prepared=prepared)
+        fut.result()
+    float(jax.device_get(next(iter(logs.values()))[-1]))
+    wall = max(time.perf_counter() - t0 - rtt, 1e-9) / (K * n_calls)
+    out["train_phase2_cycle_pipelined_wall_ms"] = round(wall * 1e3, 1)
     out["train_rtt_ms"] = round(rtt * 1e3, 1)
 
     # bf16 training (compute_dtype: bfloat16 — params f32, model body bf16):

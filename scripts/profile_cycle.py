@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--batch", type=int, default=12)
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--calls", type=int, default=3)
+    ap.add_argument("--windows", type=int, default=6,
+                    help="steady-state windows for the serial-vs-pipelined "
+                         "throughput comparison (0 to skip)")
     args = ap.parse_args()
 
     import jax
@@ -77,6 +80,43 @@ def main():
         # NOTE: the timed device_put above transfers a SECOND copy of the
         # window (training_cycle does its own put) — the printed total is
         # therefore an overestimate; the pack/put columns are the point.
+
+    if not args.windows:
+        return
+    # Steady-state throughput: serial (pack+transfer inline, as a
+    # non-pipelined trainer would) vs pipelined (Trainer's one-slot
+    # prefetch thread: window N+1's prepare_cycle overlaps window N's
+    # dispatch). Completion is forced once at the end — device execution
+    # is in-order, so the final scalar cannot arrive before every window
+    # has run; this measures windows/sec, not per-dispatch latency.
+    from concurrent.futures import ThreadPoolExecutor
+    W = args.windows
+    for mode in ("serial", "pipelined"):
+        step = 5 + (args.calls + 1) * K
+        logs = task.training_cycle(batches, step)  # re-warm
+        float(jax.device_get(next(iter(logs.values()))[-1]))
+        step += K
+        t0 = time.perf_counter()
+        if mode == "serial":
+            for _ in range(W):
+                logs = task.training_cycle(batches, step)
+                step += K
+        else:
+            with ThreadPoolExecutor(1) as pool:
+                fut = pool.submit(task.prepare_cycle, batches)
+                for _ in range(W):
+                    prepared, fut = fut.result(), pool.submit(
+                        task.prepare_cycle, batches)
+                    logs = task.training_cycle(batches, step,
+                                               prepared=prepared)
+                    step += K
+                fut.result()
+        float(jax.device_get(next(iter(logs.values()))[-1]))
+        dt = time.perf_counter() - t0
+        print(f"{mode:>9}: {W} windows x K={K} in {dt:6.2f} s -> "
+              f"{dt / (W * K) * 1e3:6.1f} ms/step "
+              f"({W * K * args.batch * args.frames * 128 / 22050 / dt:8.1f} "
+              f"audio-sec/sec)")
 
 
 if __name__ == "__main__":
