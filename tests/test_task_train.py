@@ -218,12 +218,15 @@ def test_trainer_fused_dispatch_matches_stepwise(task_env):
         c.update(work_dir=str(work_dir), collate_bucket_quant=200,
                  phase_2_steps=100, max_updates=6, num_sanity_val_steps=0,
                  val_check_interval=10 ** 6, tb_log_interval=10 ** 6,
-                 infer=False, **extra)
+                 infer=False)
+        c.update(extra)
         hparams.clear()
         hparams.update(c)
         np.random.seed(c.get("seed", 1234))
         task = SVBVAEMleTask()
-        trainer = Trainer(work_dir=c["work_dir"], val_check_interval=10 ** 6,
+        trainer = Trainer(work_dir=c["work_dir"],
+                          val_check_interval=c.get("val_check_interval",
+                                                   10 ** 6),
                           tb_log_interval=10 ** 6, max_updates=6,
                           num_sanity_val_steps=0, save_best=False)
         trainer.fit(task)
@@ -233,14 +236,25 @@ def test_trainer_fused_dispatch_matches_stepwise(task_env):
     p_step = run(root / "w_step", {"steps_per_dispatch": 1})
     p_fused = run(root / "w_fused", {"steps_per_dispatch": 2,
                                      "drop_last_batch": True})
+    # validation at step 4 forces the prefetched pending window to drain
+    # before run_evaluation (and window_must_flush keeps windows off the
+    # boundary) — must not change training semantics
+    p_val = run(root / "w_val", {"steps_per_dispatch": 2,
+                                 "drop_last_batch": True,
+                                 "val_check_interval": 4})
+    # K=4 > batches-per-epoch (2): every window goes ragged at epoch end ->
+    # dispatch-pending + per-step fallback path
+    p_ragged = run(root / "w_ragged", {"steps_per_dispatch": 4,
+                                       "drop_last_batch": True})
     import jax
     leaves1, tree1 = jax.tree_util.tree_flatten(p_step)
-    leaves2, tree2 = jax.tree_util.tree_flatten(p_fused)
-    assert tree1 == tree2
     # scan-compiled and inline-compiled XLA programs reassociate float ops
     # (single-step delta ~5e-8, tests/test_cycle.py); over 6 adversarial
     # optimizer steps that compounds to ~1e-5 — far below any training
     # signal, but not bit-exact
-    for a, b in zip(leaves1, leaves2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=0, atol=1e-4)
+    for other in (p_fused, p_val, p_ragged):
+        leaves2, tree2 = jax.tree_util.tree_flatten(other)
+        assert tree1 == tree2
+        for a, b in zip(leaves1, leaves2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-4)
