@@ -468,7 +468,39 @@ def bench_binarize(n_pairs: int = 3, dur_s: float = 5.0):
     return audio / wall
 
 
+def _probe_backend(timeout_s: float = 240.0):
+    """Claim-and-release the device backend in a bounded subprocess.
+
+    The remote PJRT relay in this environment can wedge (a killed client
+    leaves the claim stuck server-side); a bare ``jax.devices()`` then
+    blocks FOREVER in the claim retry loop. Probing in a child process
+    with a hard timeout turns that hang into a reportable error. Returns
+    None if the backend is usable, else a short error string."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return (f"backend claim timed out after {timeout_s:.0f}s "
+                "(remote PJRT relay wedged; no TPU measurement possible)")
+    if r.returncode != 0:
+        tail = (r.stderr.strip().splitlines() or ["?"])[-1]
+        return f"backend init failed: {tail[:160]}"
+    return None
+
+
 def main():
+    err = _probe_backend()
+    if err is not None:
+        print(json.dumps({
+            "metric": "hifigan_nsf_vocoder_rtf_per_chip",
+            "value": None, "unit": "rtf", "vs_baseline": None,
+            "detail": {"error": err},
+        }))
+        return
     v = bench_vocoder_rtf()
     rtf_wall = v["wall_s"] / v["audio_sec"]
     rtf_dev = (v["device_s"] / v["audio_sec"]) if v["device_s"] else None
