@@ -161,7 +161,11 @@ def bench_vocoder_rtf(n_frames: int = 2048, iters: int = 10, warmup: int = 2,
                          zero if c is None else c),
         lambda c: float(jax.device_get(c)), iters, rtt)
     cost = compiled_cost(run, params, mel, f0, key, zero)
-    audio_sec = n_frames * HOP / SR
+    # hop/sr from the model actually benched: a loaded checkpoint's config
+    # may override upsample_rates or the sample rate, changing seconds of
+    # audio per frame (and thus RTF)
+    hop = int(np.prod(model.upsample_rates))
+    audio_sec = n_frames * hop / getattr(model, "audio_sample_rate", SR)
     m.update(audio_sec=audio_sec, rtt_s=rtt, flops=cost["flops"],
              bytes=cost["bytes"], ckpt=ckpt_used)
     return m
@@ -266,32 +270,41 @@ def bench_train_step(n_frames: int = 1536, batch: int = 12, iters: int = 5):
     out = {"train_audio_sec_per_step": round(audio_sec_per_step, 1)}
     selfcheck = []
     rtt = None
-    for name, step in [("phase2", 5), ("phase3", 10 ** 6 + 5)]:
-        total = cycle(step)  # compile
+
+    def timed(cycle_fn, step, tag):
+        """One methodology for every train row: compile-warm, completion-
+        forced wall loop (relay RTT subtracted once), device busy from a
+        separate 2-call xplane trace, wall >= device selfcheck."""
+        nonlocal rtt
+        total = cycle_fn(step)  # compile
         float(jax.device_get(total))
         if rtt is None:
             rtt = relay_rtt_seconds()
         t0 = time.perf_counter()
         for _ in range(iters):
-            total = cycle(step)
+            total = cycle_fn(step)
         float(jax.device_get(total))  # forces the whole donated-state chain
         wall = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
         dev = 0.0
         try:
             trace_dir = tempfile.mkdtemp(prefix="nsvb_bench_")
             with profiler_trace(trace_dir):
-                t1 = cycle(step)
-                t1 = cycle(step)
+                t1 = cycle_fn(step)
+                t1 = cycle_fn(step)
                 float(jax.device_get(t1))
             dev = max(device_busy_from_xplane(trace_dir).values(),
                       default=0.0) / 2
         except Exception:
             pass
-        ok = dev == 0.0 or wall >= dev * 0.98
-        if not ok:
-            selfcheck.append(f"train_{name}: wall {wall * 1e3:.1f} ms < "
+        if dev and wall < dev * 0.98:
+            selfcheck.append(f"{tag}: wall {wall * 1e3:.1f} ms < "
                              f"device {dev * 1e3:.1f} ms")
-        out[f"train_{name}_wall_ms"] = round((wall if ok else dev) * 1e3, 1)
+            wall = dev
+        return wall, dev
+
+    for name, step in [("phase2", 5), ("phase3", 10 ** 6 + 5)]:
+        wall, dev = timed(cycle, step, f"train_{name}")
+        out[f"train_{name}_wall_ms"] = round(wall * 1e3, 1)
         out[f"train_{name}_device_ms"] = round(dev * 1e3, 1) if dev else None
         if name == "phase2" and dev:
             try:  # fwd+bwd+update FLOPs of the fused gen(+disc) dispatch
@@ -370,28 +383,7 @@ def bench_train_step(n_frames: int = 1536, batch: int = 12, iters: int = 5):
                     total = ret[0]
             return total
 
-        total = cycle_b(5)  # compile
-        float(jax.device_get(total))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            total = cycle_b(5)
-        float(jax.device_get(total))
-        wall = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
-        dev = 0.0
-        try:
-            trace_dir = tempfile.mkdtemp(prefix="nsvb_bench_")
-            with profiler_trace(trace_dir):
-                t1 = cycle_b(5)
-                t1 = cycle_b(5)
-                float(jax.device_get(t1))
-            dev = max(device_busy_from_xplane(trace_dir).values(),
-                      default=0.0) / 2
-        except Exception:
-            pass
-        if dev and wall < dev * 0.98:
-            selfcheck.append(f"train_phase2_bf16: wall {wall * 1e3:.1f} ms "
-                             f"< device {dev * 1e3:.1f} ms")
-            wall = dev
+        wall, dev = timed(cycle_b, 5, "train_phase2_bf16")
         out["train_phase2_bf16_wall_ms"] = round(wall * 1e3, 1)
         out["train_phase2_bf16_device_ms"] = (round(dev * 1e3, 1)
                                               if dev else None)

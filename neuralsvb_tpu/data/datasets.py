@@ -291,10 +291,16 @@ class FastSingingDataset(FastSpeechDataset):
         batch["prof_mel_lengths"] = np.asarray(
             [len(s["prof_mel"]) for s in samples], np.int64)
         # contract completeness with the reference batch
-        # (reference: tasks/singing/neural_svb_task.py:60)
+        # (reference: tasks/singing/neural_svb_task.py:60). Items binarized
+        # without alignment get an all-0 row (0 = padding/no-phone) rather
+        # than keying off samples[0] only, which would crash on a mixed
+        # batch (None in collate_1d) or silently drop the key.
+        m2p = [s.get("prof_mel2ph") for s in samples]
         batch["prof_mel2ph"] = (
-            collate_1d([s["prof_mel2ph"] for s in samples], 0, bucket_quant=bq)
-            if samples[0].get("prof_mel2ph") is not None else None)
+            collate_1d([np.zeros(len(s["prof_mel"]), np.int64)
+                        if v is None else v
+                        for s, v in zip(samples, m2p)], 0, bucket_quant=bq)
+            if any(v is not None for v in m2p) else None)
         return batch
 
 

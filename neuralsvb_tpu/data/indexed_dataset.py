@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import threading
 from copy import deepcopy
 
 import numpy as np
@@ -22,6 +23,7 @@ class IndexedDataset:
         self.data_offsets = np.load(f"{path}.idx", allow_pickle=True).item()["offsets"]
         self.data_file = open(f"{path}.data", "rb", buffering=-1)
         self._pid = os.getpid()
+        self._reopen_lock = threading.Lock()
         self.cache = []
         self.num_cache = num_cache
 
@@ -38,9 +40,15 @@ class IndexedDataset:
         # parent's file object. Reopen once per process, and read with
         # os.pread below: it takes an explicit offset, so neither forked
         # processes nor prefetch threads can race the shared fd position.
+        # Double-checked lock: two threads of a forked child must not BOTH
+        # reopen — the loser's file object would be GC-closed while the
+        # winner still holds its raw fd (EBADF / wrong-file reads).
         if os.getpid() != self._pid:
-            self.data_file = open(f"{self.path}.data", "rb", buffering=0)
-            self._pid = os.getpid()
+            with self._reopen_lock:
+                if os.getpid() != self._pid:
+                    self.data_file = open(f"{self.path}.data", "rb",
+                                          buffering=0)
+                    self._pid = os.getpid()
         return self.data_file.fileno()
 
     def __getitem__(self, i: int):

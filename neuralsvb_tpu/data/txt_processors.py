@@ -43,8 +43,14 @@ class TxtProcessorEn(BaseTxtProcessor):
         if cls._g2p is None:
             try:
                 from g2p_en import G2p
-                cls._g2p = G2p()
-            except ImportError:
+                g2p = G2p()
+                # functional probe: a broken install (missing nltk data
+                # raising at first call, or a stubbed module) must fall
+                # back to graphemes instead of silently emitting nothing
+                probe = [p for p in g2p("hi")
+                         if isinstance(p, str) and p.strip()]
+                cls._g2p = g2p if probe else False
+            except Exception:  # noqa: BLE001 — any failure -> fallback
                 cls._g2p = False
         return cls._g2p
 

@@ -76,7 +76,11 @@ class GlobalFVAEEncoder(FVAEEncoder):
     @nn.compact
     def __call__(self, x, x_mask, g, train: bool = False):
         x, x_mask = self.project(x, x_mask, g, train)
-        h = x
+        # project()'s final out_proj is a biased 1x1 conv over masked input,
+        # so padded positions hold the BIAS, not zero — mask them out so a
+        # clip with < 15 valid pooled frames inside a longer-padded batch
+        # sees the same zeros the unpadded bs=1 run gets from jnp.pad below
+        h = x * x_mask
         # three stride-2 VALID poolings need >= 15 input frames or the
         # output collapses to length 0 (NaN mean); right-pad short clips
         if h.shape[1] < 15:

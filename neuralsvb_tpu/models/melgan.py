@@ -86,11 +86,17 @@ class MelGANGenerator(nn.Module):
                                      name=f"up_{i}")(x)
                 x = x[:, :t_in * scale]
             else:
-                # torch: padding=s//2+s%2, output_padding=s%2 -> T*s out;
-                # for even s this is the symmetric trim flax SAME applies
+                # torch: padding=s//2+s%2, output_padding=s%2 -> T*s out,
+                # i.e. crop s//2+s%2 left / s//2 right off the VALID deconv.
+                # flax SAME puts the extra crop on the RIGHT for odd s
+                # (one-sample shift vs torch), so slice explicitly — exact
+                # for both parities.
+                t_in = x.shape[1]
+                lo = scale // 2 + scale % 2
                 x = nn.ConvTranspose(ch, (scale * 2,), strides=(scale,),
-                                     padding="SAME", transpose_kernel=True,
+                                     padding="VALID", transpose_kernel=True,
                                      name=f"up_{i}")(x)
+                x = x[:, lo:lo + t_in * scale]
             for j in range(self.stacks):
                 x = ResidualStack(ch, self.stack_kernel_size,
                                   self.stack_kernel_size ** j,

@@ -115,12 +115,16 @@ _COMPUTE_DTYPES = {"<f2": jnp.float32, "<i2": jnp.int32}
 # wire_dtype: int8 — lossy log-mel quantization for interconnect-bound
 # setups (halves the dominant wire bytes vs f16). Log10-mels floor at -10
 # (log10(max(1e-10, mel)), reference: data_gen_utils.py:93-147) and loud
-# frames can mildly exceed log10 2; mid -3.5 / scale 13/254 covers
-# [-10, 3] at ~0.051 LSB — above f16 rounding but below typical
-# mel-estimation noise. Out-of-window inputs raise in wire_pack (silently
-# clipping would flatten spectrogram tails). Opt-in only.
+# frames can mildly exceed log10 2; zero-point 68 / scale 10/196 covers
+# [-10, 3.01] at ~0.051 LSB — above f16 rounding but below typical
+# mel-estimation noise. The zero-point form keeps 0.0 EXACT through the
+# round-trip: padded frames are 0.0, and every nonpadding mask downstream
+# is abs(mel) > 0, so a mid/scale scheme whose nearest code dequantizes to
+# -0.0197 would silently mark all padding as valid frames. Out-of-window
+# inputs raise in wire_pack (silently clipping would flatten spectrogram
+# tails). Opt-in only.
 _I8_KEYS = ("mels", "prof_mels")
-_I8_MID, _I8_SCALE = -3.5, 13.0 / 254.0
+_I8_ZP, _I8_SCALE = 68, 10.0 / 196.0
 
 
 def wire_pack(b: Dict[str, Any]):
@@ -133,16 +137,16 @@ def wire_pack(b: Dict[str, Any]):
     for k in sorted(b):
         src = np.asarray(b[k])
         if int8_mels and k in _I8_KEYS:
-            q = np.rint((src - _I8_MID) / _I8_SCALE)
-            if src.size and (q.max() > 127 or q.min() < -127):
+            q = np.rint(src / _I8_SCALE) + _I8_ZP
+            if src.size and (q.max() > 127 or q.min() < -128):
                 # clipping would silently flatten the spectrogram tails;
                 # mirror the int16 overflow guard below (log10-mels from
                 # the shipped frontend always fit [-10, 2])
                 raise ValueError(
                     f"wire_pack: '{k}' range [{src.min():.2f}, "
                     f"{src.max():.2f}] exceeds the int8 log-mel window "
-                    f"[{_I8_MID - 127 * _I8_SCALE:.1f}, "
-                    f"{_I8_MID + 127 * _I8_SCALE:.1f}]; use wire_dtype: "
+                    f"[{(-128 - _I8_ZP) * _I8_SCALE:.1f}, "
+                    f"{(127 - _I8_ZP) * _I8_SCALE:.1f}]; use wire_dtype: "
                     f"float16 for non-log10 mel frontends")
             q = q.astype(np.int8)
             metas.append((k, "|q1", q.shape[1:]))
@@ -173,7 +177,9 @@ def wire_unpack(buf, meta):
             n = int(np.prod(shp, dtype=np.int64)) if shp else 1
             sl = jax.lax.slice_in_dim(buf, off, off + n, axis=1)
             q = jax.lax.bitcast_convert_type(sl, jnp.int8)
-            x = q.astype(jnp.float32) * _I8_SCALE + _I8_MID
+            # (q - ZP) * SCALE: code ZP dequantizes to an EXACT 0.0 (padded
+            # frames must stay zero for the abs(mel) > 0 nonpadding masks)
+            x = (q.astype(jnp.float32) - _I8_ZP) * _I8_SCALE
             out[k] = x.reshape((B,) + tuple(shp))
             off += n
             continue

@@ -82,30 +82,35 @@ class Trainer:
         except Exception:
             traceback.print_exc()
 
-    def _maybe_log(self, logs, pbar):
+    def _maybe_log(self, logs, pbar, step=None):
         """TB/pbar logging that is correct under fused dispatch: global_step
         advances in increments of K, so instead of `step % interval == 0`
         (which only fires when a multiple of K lands on the interval) log
-        whenever a window CROSSES an interval boundary (ADVICE r2)."""
+        whenever a window CROSSES an interval boundary (ADVICE r2).
+
+        ``step`` attributes the logs to the step they were COMPUTED at: the
+        pipelined dispatch resolves window N-1's losses while global_step
+        already points past window N, and logging them at the current step
+        would shift every TB curve by steps_per_dispatch."""
         if not logs:
             return
+        step = self.global_step if step is None else step
         last = getattr(self, "_last_tb_step", 0)
-        tb_due = self.global_step // self.tb_log_interval > last // self.tb_log_interval
+        tb_due = step // self.tb_log_interval > last // self.tb_log_interval
         pbar_due = (sys.stdout.isatty()
-                    and self.global_step // 20
+                    and step // 20
                     > getattr(self, "_last_pbar_step", 0) // 20)
         if not (tb_due or pbar_due):
             return
         logs = tensors_to_scalars(logs)
         if pbar_due or tb_due:
-            self._last_pbar_step = self.global_step
+            self._last_pbar_step = step
             pbar.set_postfix(
                 **{k: f"{v:.3f}" for k, v in list(logs.items())[:6]
                    if isinstance(v, float)})
         if tb_due:
-            self._last_tb_step = self.global_step
-            self.log_metrics({f"tr/{k}": v for k, v in logs.items()},
-                             self.global_step)
+            self._last_tb_step = step
+            self.log_metrics({f"tr/{k}": v for k, v in logs.items()}, step)
 
     def log_metrics(self, metrics: dict, step: int):
         if self.logger is None:
@@ -198,19 +203,24 @@ class Trainer:
             return logs
 
         def dispatch_pending():
+            """Dispatch the in-flight window (if any) and log its losses at
+            the step it was computed at — NOT the current global_step, which
+            is already K past it under the pipeline."""
             nonlocal pending
             if pending is None:
-                return {}
+                return
             win, fut, start = pending
             pending = None
             cycle_logs = task.training_cycle(win, start,
                                              prepared=fut.result())
-            return {k: v[-1] for k, v in cycle_logs.items()}
+            self._maybe_log({k: v[-1] for k, v in cycle_logs.items()}, pbar,
+                            step=start + len(win))
 
         def flush_window():
             nonlocal window, pending
             if not window:
-                return dispatch_pending()
+                dispatch_pending()
+                return {}
             if len(window) == K:  # full window -> one fused dispatch
                 if not getattr(self, "_cycle_announced", False):
                     self._cycle_announced = True
@@ -218,13 +228,15 @@ class Trainer:
                           f"lax.scan cycle (pipelined transfer)")
                 start = self.global_step
                 fut = prefetch_pool.submit(task.prepare_cycle, window)
-                logs = dispatch_pending()  # window N-1; its transfer is done
+                dispatch_pending()  # window N-1; its transfer is done
+                logs = {}
                 pending = (window, fut, start)
                 self.global_step += K
                 task.global_step = self.global_step
                 pbar.update(K)
             else:  # ragged window -> per-step (avoids scan-length recompiles)
-                logs = dispatch_pending()
+                dispatch_pending()
+                logs = {}
                 for b in window:
                     logs = step_one(b)
             window = []
@@ -269,10 +281,10 @@ class Trainer:
                     logs = step_one(batch)
                 self._maybe_log(logs, pbar)
                 if self.global_step % self.val_check_interval == 0:
-                    self._maybe_log(dispatch_pending(), pbar)
+                    dispatch_pending()
                     self.run_evaluation(task)
             self._maybe_log(flush_window(), pbar)
-            self._maybe_log(dispatch_pending(), pbar)
+            dispatch_pending()
         except KeyboardInterrupt:
             print("| KeyboardInterrupt: saving and exiting.")
             dispatch_pending()

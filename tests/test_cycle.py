@@ -197,27 +197,42 @@ def test_cycle_rejects_disc_interval():
 
 
 def test_wire_int8_roundtrip():
-    """wire_dtype: int8 quantizes log-mels to ~0.047 LSB; decode inside
-    jit recovers them within half an LSB, other keys stay exact."""
+    """wire_dtype: int8 quantizes log-mels to ~0.051 LSB; decode inside
+    jit recovers them within half an LSB, other keys stay exact — and
+    zero-padded frames decode to EXACT zeros (the abs(mel) > 0 nonpadding
+    masks downstream would otherwise treat padding as valid frames)."""
     from neuralsvb_tpu.hparams import hparams
     from neuralsvb_tpu.tasks.svb_vae_task import (_I8_SCALE, wire_pack,
                                                   wire_unpack)
     hparams.clear()
     hparams.update(TINY)
     hparams["wire_dtype"] = "int8"
-    b = _batch(seed=7)
-    b.pop("nsamples")
-    b.pop("multi_spk_emb")
-    buf, meta = wire_pack(b)
-    assert buf.dtype == np.uint8
-    mel_keys = {k for k, dt, _ in meta if dt == "|q1"}
-    assert mel_keys == {"mels", "prof_mels"}
-    dec = jax.jit(wire_unpack, static_argnames="meta")(buf, meta)
-    for k in ("mels", "prof_mels"):
-        err = np.abs(np.asarray(dec[k]) - b[k]).max()
-        assert err <= _I8_SCALE / 2 + 1e-6, (k, err)
-    for k in ("pitch", "prof_pitch", "a2p_f0_alignment"):
-        np.testing.assert_array_equal(np.asarray(dec[k]), b[k])
+    try:
+        b = _batch(seed=7)
+        b.pop("nsamples")
+        b.pop("multi_spk_emb")
+        # bucketed collate zero-pads the tail of shorter utterances
+        b["mels"][:, -3:] = 0.0
+        b["prof_mels"][1:, -5:] = 0.0
+        buf, meta = wire_pack(b)
+        assert buf.dtype == np.uint8
+        mel_keys = {k for k, dt, _ in meta if dt == "|q1"}
+        assert mel_keys == {"mels", "prof_mels"}
+        dec = jax.jit(wire_unpack, static_argnames="meta")(buf, meta)
+        for k in ("mels", "prof_mels"):
+            err = np.abs(np.asarray(dec[k]) - b[k]).max()
+            assert err <= _I8_SCALE / 2 + 1e-6, (k, err)
+            # padding must stay EXACTLY zero (abs(mel) > 0 masks); valid
+            # values within half an LSB of 0 also land on the zero code,
+            # which is ordinary quantization noise, so only assert the
+            # padding direction
+            pad_leak = np.abs(np.asarray(dec[k])[b[k] == 0.0]).max()
+            assert pad_leak == 0.0, (
+                f"{k}: int8 wire dequantized zero padding to {pad_leak}")
+        for k in ("pitch", "prof_pitch", "a2p_f0_alignment"):
+            np.testing.assert_array_equal(np.asarray(dec[k]), b[k])
+    finally:
+        hparams.pop("wire_dtype", None)  # don't leak int8 into other tests
 
 
 @pytest.mark.slow

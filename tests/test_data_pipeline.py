@@ -354,3 +354,40 @@ def test_base_concat_dataset(binarized_dir):
     hparams["binary_data_dirs"] = []
     ds = maybe_concat_dataset(MultiSpkEmbDataset, "train", shuffle=True)
     assert isinstance(ds, MultiSpkEmbDataset)
+
+
+def test_fastsinging_collater_mixed_prof_mel2ph():
+    """A batch mixing items binarized with and without prof_mel2ph must
+    collate (zeros = no-phone for the missing rows), not crash on a None
+    in collate_1d or silently drop the key when samples[0] lacks it."""
+    from neuralsvb_tpu.data.datasets import FastSingingDataset
+
+    ds = object.__new__(FastSingingDataset)
+    ds.hparams = {"collate_bucket_quant": 4, "frames_multiple": 1}
+    ds.pitch_type = None
+
+    def mk(i, T, with_m2p):
+        return {
+            "id": i, "item_name": f"it{i}", "text": None,
+            "mel": np.full((T, 8), -2.0, np.float32),
+            "f0": np.ones(T, np.float32), "uv": np.zeros(T, np.float32),
+            "pitch": np.ones(T, np.int64),
+            "energy": np.ones(T, np.float32),
+            "prof_mel": np.full((T, 8), -2.0, np.float32),
+            "prof_f0": np.ones(T, np.float32),
+            "prof_uv": np.zeros(T, np.float32),
+            "prof_pitch": np.ones(T, np.int64),
+            "prof_energy": np.ones(T, np.float32),
+            "prof_mel2ph": (np.arange(1, T + 1, dtype=np.int64)
+                            if with_m2p else None),
+        }
+
+    # first sample LACKS the alignment, second has it
+    batch = ds.collater([mk(0, 6, False), mk(1, 8, True)])
+    m2p = batch["prof_mel2ph"]
+    assert m2p is not None and m2p.shape[0] == 2
+    assert (m2p[0] == 0).all()          # missing row -> all no-phone
+    assert (m2p[1, :8] == np.arange(1, 9)).all()
+    # all-absent -> key stays None (the a2p para pipeline has no mel2ph)
+    batch2 = ds.collater([mk(0, 6, False), mk(1, 8, False)])
+    assert batch2["prof_mel2ph"] is None

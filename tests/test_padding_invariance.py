@@ -53,12 +53,18 @@ def _pad(x, pad, value=0):
     return np.pad(x, cfg, constant_values=value)
 
 
-@pytest.mark.parametrize("pad", [20, 36])
-def test_svbvae_forward_padding_invariant(pad):
+@pytest.mark.parametrize("pad,T", [
+    (20, 64), (36, 64),
+    # T=40 -> 10 squeezed frames < the global encoder's 15-frame pooling
+    # minimum: the unpadded run takes the jnp.pad branch while the padded
+    # run (T'=19..) relies on post-out_proj masking — the two must agree
+    (36, 40),
+])
+def test_svbvae_forward_padding_invariant(pad, T):
     from neuralsvb_tpu.hparams import hparams
     hparams.update({k: v for k, v in HP.items() if k not in hparams})
     model = _model()
-    B, T = 2, 64
+    B = 2
     z = _inputs(B, T)
     rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
             "dropout": jax.random.PRNGKey(2)}

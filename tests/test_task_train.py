@@ -258,3 +258,60 @@ def test_trainer_fused_dispatch_matches_stepwise(task_env):
         for a, b in zip(leaves1, leaves2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=0, atol=1e-4)
+
+
+def test_pipelined_dispatch_logs_at_computed_step(task_env, monkeypatch):
+    """TB points under pipelined fused dispatch must be attributed to the
+    step each window ENDED at — dispatch_pending resolves window N-1's
+    losses while global_step already points past window N, so logging at
+    the current step would shift every training curve by K. The final
+    window's logs (drained at end of training / epoch boundaries) must
+    appear too, not be dropped."""
+    root, cfg = task_env
+    from neuralsvb_tpu.hparams import hparams
+    from neuralsvb_tpu.tasks.svb_vae_task import SVBVAEMleTask
+    from neuralsvb_tpu.training.trainer import Trainer
+
+    c = dict(cfg)
+    # deterministic window structure: singleton batches all bucket-pad to
+    # the same (1, 200, ...) shape so no signature flush ever goes ragged,
+    # and disc_start_steps=-1 keeps _disc_start constant from step 0 (with
+    # the default 0, _disc_start(0) != _disc_start(1) forces the FIRST
+    # batch out of the window as a per-step fallback)
+    c.update(work_dir=str(root / "w_logstep"), collate_bucket_quant=200,
+             phase_2_steps=100, max_updates=6, num_sanity_val_steps=0,
+             val_check_interval=10 ** 6, tb_log_interval=2, infer=False,
+             steps_per_dispatch=2, drop_last_batch=True, max_sentences=1,
+             disc_start_steps=-1)
+    hparams.clear()
+    hparams.update(c)
+    np.random.seed(c.get("seed", 1234))
+
+    records = []
+
+    class FakeLogger:
+        def add_scalar(self, tag, value, step):
+            records.append((tag, step))
+
+        def __getattr__(self, name):  # add_audio/add_figure/flush/close
+            return lambda *a, **k: None
+
+    def fake_build_logger(self, task):
+        self.logger = FakeLogger()
+        task.logger = self.logger
+
+    monkeypatch.setattr(Trainer, "_build_logger", fake_build_logger)
+    task = SVBVAEMleTask()
+    trainer = Trainer(work_dir=c["work_dir"], val_check_interval=10 ** 6,
+                      tb_log_interval=2, max_updates=6,
+                      num_sanity_val_steps=0, save_best=False)
+    trainer.fit(task)
+    assert task.global_step == 6
+    tr_steps = sorted({s for t, s in records if t.startswith("tr/")})
+    # 4 singleton batches/epoch, K=2 -> fused windows end at steps 2, 4
+    # (epoch 1) and 6 (epoch 2, drained by the final dispatch_pending);
+    # each must be logged at ITS end step. Without step attribution the
+    # pipeline logs window N at window N+1's dispatch (gs already +K):
+    # [4, 6] with window 1's point shifted and the last window's GATED
+    # (6 // interval == _last_tb_step // interval) -> curve loses points.
+    assert tr_steps == [2, 4, 6], tr_steps
