@@ -228,7 +228,12 @@ def bench_e2e_svb(n_frames: int = 1536, iters: int = 5, warmup: int = 2,
                          zero if c is None else c),
         lambda c: float(jax.device_get(c)), iters, rtt)
     cost = compiled_cost(e2e, *args, key, zero)
-    m.update(audio_sec=n_frames * HOP / SR, batch=batch, rtt_s=rtt,
+    # hop/sr from the vocoder actually benched (same rule as
+    # bench_vocoder_rtf): a loaded checkpoint's config may override
+    # upsample_rates or the sample rate, changing seconds per mel frame
+    hop = int(np.prod(voc.upsample_rates))
+    m.update(audio_sec=n_frames * hop / getattr(voc, "audio_sample_rate", SR),
+             batch=batch, rtt_s=rtt,
              flops=cost["flops"], bytes=cost["bytes"])
     return m
 
@@ -244,9 +249,7 @@ def bench_train_step(n_frames: int = 1536, batch: int = 12, iters: int = 5):
 
     from __graft_entry__ import _batch, _flagship_hparams
     from neuralsvb_tpu.hparams import hparams
-    from neuralsvb_tpu.utils.profiling import (device_busy_from_xplane,
-                                               profiler_trace,
-                                               relay_rtt_seconds)
+    from neuralsvb_tpu.utils.profiling import relay_rtt_seconds
 
     hp = _flagship_hparams()
     hp.update(mesh_shape="data:1", phase_2_steps=10 ** 6)
@@ -272,35 +275,25 @@ def bench_train_step(n_frames: int = 1536, batch: int = 12, iters: int = 5):
     rtt = None
 
     def timed(cycle_fn, step, tag):
-        """One methodology for every train row: compile-warm, completion-
-        forced wall loop (relay RTT subtracted once), device busy from a
-        separate 2-call xplane trace, wall >= device selfcheck."""
+        """One methodology for every train row — delegates to _measure()
+        (compile-warm, completion-forced wall loop with the relay RTT
+        subtracted once, device busy from a separate 2-call xplane trace,
+        wall >= device selfcheck). The cross-call data dependency _measure's
+        carry normally provides comes from the donated train state here, so
+        the chain ignores the carry and forcing the final loss scalar proves
+        the whole chain ran."""
         nonlocal rtt
         total = cycle_fn(step)  # compile
         float(jax.device_get(total))
         if rtt is None:
             rtt = relay_rtt_seconds()
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            total = cycle_fn(step)
-        float(jax.device_get(total))  # forces the whole donated-state chain
-        wall = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
-        dev = 0.0
-        try:
-            trace_dir = tempfile.mkdtemp(prefix="nsvb_bench_")
-            with profiler_trace(trace_dir):
-                t1 = cycle_fn(step)
-                t1 = cycle_fn(step)
-                float(jax.device_get(t1))
-            dev = max(device_busy_from_xplane(trace_dir).values(),
-                      default=0.0) / 2
-        except Exception:
-            pass
-        if dev and wall < dev * 0.98:
-            selfcheck.append(f"{tag}: wall {wall * 1e3:.1f} ms < "
-                             f"device {dev * 1e3:.1f} ms")
-            wall = dev
-        return wall, dev
+        m = _measure(lambda i, c: cycle_fn(step),
+                     lambda c: float(jax.device_get(c)), iters, rtt)
+        if not m["selfcheck_ok"]:
+            selfcheck.append(
+                f"{tag}: wall {m['raw_wall_s'] * 1e3:.1f} ms < "
+                f"device {m['device_s'] * 1e3:.1f} ms")
+        return m["wall_s"], m["device_s"]
 
     for name, step in [("phase2", 5), ("phase3", 10 ** 6 + 5)]:
         wall, dev = timed(cycle, step, f"train_{name}")

@@ -207,24 +207,30 @@ def device_busy_from_xplane(trace_dir: str):
     import os
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
-    out = {}
+
+    def plane_busy(plane):
+        op_lines = [ln for ln in plane.lines if ln.name == "XLA Ops"]
+        if op_lines:
+            return max(_merged_span_seconds(ln) for ln in op_lines)
+        return max((_merged_span_seconds(ln) for ln in plane.lines),
+                   default=0.0)
+
+    out, host = {}, {}
     for fn in glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                         recursive=True):
         space = xplane_pb2.XSpace()
         with open(fn, "rb") as f:
             space.ParseFromString(f.read())
         for plane in space.planes:
-            if not _is_device_plane(plane.name):
-                continue
-            op_lines = [ln for ln in plane.lines if ln.name == "XLA Ops"]
-            if op_lines:
-                busy = max(_merged_span_seconds(ln) for ln in op_lines)
-            else:
-                busy = max((_merged_span_seconds(ln) for ln in plane.lines),
-                           default=0.0)
+            dst = out if _is_device_plane(plane.name) else host
+            busy = plane_busy(plane)
             if busy:
-                out[plane.name] = max(out.get(plane.name, 0.0), busy)
-    return out
+                dst[plane.name] = max(dst.get(plane.name, 0.0), busy)
+    # CPU-backend traces carry no TPU/GPU plane at all (only "/host:CPU");
+    # fall back to the host planes then so device_ms columns stay useful.
+    # When a real device plane exists, host planes are EXCLUDED — they time
+    # Python dispatch, not kernels.
+    return out or host
 
 
 def top_ops_from_xplane(trace_dir: str, k: int = 15):

@@ -119,16 +119,32 @@ def main():
               f"med={r['voiced_med_cents']:.1f}c")
 
     w = np.asarray([r["frames"] for r in rows], np.float64)
-    w /= w.sum()
-    agg = {k: float(np.nansum(w * np.asarray([r[k] for r in rows])))
-           for k in rows[0] if k != "frames"}
+
+    def wmean(k):
+        # renormalize weights over non-NaN rows: nansum over the raw
+        # weights would pull the aggregate toward 0 (a file with zero
+        # mutually-voiced frames has rmse = NaN, not rmse = 0) and could
+        # flip FAIL to PASS
+        vals = np.asarray([r[k] for r in rows], np.float64)
+        m = ~np.isnan(vals)
+        return float((w[m] * vals[m]).sum() / w[m].sum()) if m.any() \
+            else float("nan")
+
+    agg = {k: wmean(k) for k in rows[0] if k != "frames"}
+    n_nan = int(np.isnan([r["voiced_rmse_hz"] for r in rows]).sum())
     print("\nAGGREGATE (frame-weighted): "
           f"voiced_agree={agg['voiced_agree']:.4f} "
           f"boundary_mismatch={agg['boundary_mismatch']:.4f} "
           f"voiced_rmse={agg['voiced_rmse_hz']:.2f}Hz "
-          f"median={agg['voiced_med_cents']:.1f} cents")
-    ok = agg["voiced_agree"] >= 0.97 and agg["voiced_rmse_hz"] <= 10.0
-    print("PASS" if ok else "FAIL (voiced_agree < 0.97 or RMSE > 10 Hz)")
+          f"median={agg['voiced_med_cents']:.1f} cents"
+          + (f" ({n_nan} file(s) with NO mutually-voiced frames — "
+             f"tracker red flag, counted as failure)" if n_nan else ""))
+    # a file where the two trackers share no voiced frames at all is itself
+    # a failure of the gate this harness enforces, not missing data
+    ok = (n_nan == 0 and agg["voiced_agree"] >= 0.97
+          and agg["voiced_rmse_hz"] <= 10.0)
+    print("PASS" if ok else "FAIL (voiced_agree < 0.97, RMSE > 10 Hz, "
+                            "or a file with no mutually-voiced frames)")
     return 0 if ok else 1
 
 

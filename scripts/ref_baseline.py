@@ -20,7 +20,6 @@ import json
 import os
 import sys
 import time
-from unittest import mock
 
 import numpy as np
 
@@ -30,16 +29,10 @@ SR, HOP = 22050, 128
 
 
 def _stub_missing():
-    for m in ["chardet", "pycwt", "webrtcvad", "librosa", "librosa.filters",
-              "parselmouth", "pyloudnorm", "g2p_en", "resemblyzer", "numba",
-              "skimage", "skimage.transform", "pandas", "matplotlib",
-              "matplotlib.pyplot", "matplotlib.ticker"]:
-        try:
-            __import__(m)
-        except ImportError:
-            stub = mock.MagicMock(name=m)
-            stub.__name__ = m
-            sys.modules[m] = stub
+    # shared stub list — keep in one place (the module object survives the
+    # sys.path surgery in main(); only the import below must happen first)
+    from neuralsvb_tpu.convert.ref_env import stub_missing_ref_deps
+    stub_missing_ref_deps()
 
 
 def bench_ref_vocoder(torch, hifigan_mod, n_frames, iters=3, warmup=1):

@@ -23,7 +23,6 @@ from __future__ import annotations
 import contextlib
 import sys
 import types
-from unittest import mock
 
 import numpy as np
 import pytest
@@ -58,16 +57,8 @@ def ref():
     """Import the reference PyTorch modules with missing third-party deps
     stubbed (their functions never run in these tests) and the reference
     global hparams dict populated."""
-    for m in ["chardet", "pycwt", "webrtcvad", "librosa", "librosa.filters",
-              "parselmouth", "pyloudnorm", "g2p_en", "resemblyzer", "numba",
-              "skimage", "skimage.transform", "pandas", "matplotlib",
-              "matplotlib.pyplot"]:
-        try:
-            __import__(m)
-        except ImportError:
-            stub = mock.MagicMock(name=m)
-            stub.__name__ = m  # requests reads chardet.__name__ on import
-            sys.modules[m] = stub
+    from neuralsvb_tpu.convert.ref_env import stub_missing_ref_deps
+    stub_missing_ref_deps()
     if REF not in sys.path:
         sys.path.insert(0, REF)
     from utils.hparams import hparams as ref_hparams

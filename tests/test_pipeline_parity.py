@@ -146,18 +146,8 @@ def ref_path_only():
 
 
 def _stub_missing():
-    for m in ["chardet", "pycwt", "webrtcvad", "librosa", "librosa.filters",
-              "parselmouth", "pyloudnorm", "g2p_en", "resemblyzer", "numba",
-              "skimage", "skimage.transform", "pandas", "matplotlib",
-              "matplotlib.pyplot", "matplotlib.ticker"]:
-        try:
-            mod = __import__(m)
-            if isinstance(mod, mock.MagicMock) and not hasattr(mod, "__name__"):
-                mod.__name__ = m  # repair a stub installed by another test
-        except ImportError:
-            stub = mock.MagicMock(name=m)
-            stub.__name__ = m  # requests reads chardet.__name__ on import
-            sys.modules[m] = stub
+    from neuralsvb_tpu.convert.ref_env import stub_missing_ref_deps
+    stub_missing_ref_deps()
 
 
 class _FakeVocoder:
