@@ -14,6 +14,10 @@ def binarize():
     cls().process()
 
 
-if __name__ == "__main__":
+def main():
     set_hparams()
     binarize()
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,10 @@ def run_task():
     task_cls.start()
 
 
-if __name__ == "__main__":
+def main():
     set_hparams()
     run_task()
+
+
+if __name__ == "__main__":
+    main()
