@@ -31,7 +31,12 @@ def stub_missing_ref_deps(extra: list[str] | None = None) -> None:
     """
     for m in REF_OPTIONAL_DEPS + list(extra or ()):
         try:
-            mod = __import__(m)
+            __import__(m)
+            # __import__ returns the TOP-LEVEL package for dotted names, so
+            # inspect/repair the module actually bound at sys.modules[m] —
+            # otherwise a nameless stub at e.g. "librosa.filters" survives
+            # (and the parent could be stamped with the child's __name__)
+            mod = sys.modules.get(m)
             if isinstance(mod, mock.MagicMock) and not hasattr(mod, "__name__"):
                 mod.__name__ = m  # repair a stub installed by another test
         except ImportError:

@@ -145,6 +145,17 @@ def _subband_speech_flags(wav16k: np.ndarray, frame: int) -> np.ndarray:
     total = band_e.sum(-1)
     n_quiet = max(1, n // 10)
     quiet = np.argpartition(total, n_quiet - 1)[:n_quiet]
+    # The floor is estimated from the clip's own quietest windows, so it is
+    # only a NOISE floor when the clip actually contains silence. If the
+    # loud windows (90th percentile — speech even when silence dominates
+    # the clip) sit within 15 dB of the quiet floor, the clip has no real
+    # dynamic range to separate on (continuously voiced, no internal
+    # pause) — fail OPEN and keep everything rather than zeroing the SNR
+    # of speech against itself (real silence sits far more than 15 dB
+    # below speech).
+    total_db = 10 * np.log10(np.maximum(total, 1e-12))
+    if float(np.percentile(total_db, 90) - total_db[quiet].mean()) < 15.0:
+        return np.ones(n, bool)
     floor = log_e[quiet].mean(0, keepdims=True)  # noise floor per band
     snr = np.maximum(log_e - floor, 0.0)
     # low bands carry voicing; weight them up (speech energy is low-pass)

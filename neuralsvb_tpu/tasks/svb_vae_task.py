@@ -138,6 +138,14 @@ def wire_pack(b: Dict[str, Any]):
         src = np.asarray(b[k])
         if int8_mels and k in _I8_KEYS:
             q = np.rint(src / _I8_SCALE) + _I8_ZP
+            if src.size and not np.isfinite(q).all():
+                # NaN/Inf compares False against the window bounds below
+                # and would cast to an arbitrary int8 code — a plausible-
+                # looking mel — where the f16 wire would propagate the NaN
+                # into the loss and surface immediately
+                raise ValueError(
+                    f"wire_pack: '{k}' contains non-finite values; "
+                    "refusing to quantize them to int8")
             if src.size and (q.max() > 127 or q.min() < -128):
                 # clipping would silently flatten the spectrogram tails;
                 # mirror the int16 overflow guard below (log10-mels from

@@ -290,9 +290,24 @@ class Trainer:
             dispatch_pending()
             task.on_keyboard_interrupt()
             self._save(task)
-        if prefetch_pool is not None:
-            prefetch_pool.shutdown(wait=True)
-        pbar.close()
+        finally:
+            # Any exit path (including an exception out of run_evaluation or
+            # a transfer error): global_step was already advanced by K when
+            # the pending window was submitted, so either dispatch it or roll
+            # the counter back — otherwise a checkpoint of task.state would
+            # claim K updates that were never applied, and resume would skip
+            # K batches and misalign LR/phase boundaries.
+            if pending is not None:
+                start = pending[2]
+                try:
+                    dispatch_pending()
+                except Exception:  # window never ran: reconcile the counter
+                    pending = None
+                    self.global_step = start
+                    task.global_step = start
+            if prefetch_pool is not None:
+                prefetch_pool.shutdown(wait=True)
+            pbar.close()
         task.on_train_end() if hasattr(task, "on_train_end") else None
         self._save(task)
 

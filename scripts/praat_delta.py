@@ -99,7 +99,8 @@ def main():
               "the build environment cannot install it.)")
         return 2
 
-    fns = sorted(sum((glob.glob(os.path.join(args.wav_dir, p))
+    fns = sorted(sum((glob.glob(os.path.join(args.wav_dir, p),
+                                recursive=True)
                       for p in ("*.wav", "*.mp3", "**/*.wav", "**/*.mp3")),
                      []))
     fns = list(dict.fromkeys(fns))

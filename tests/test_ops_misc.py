@@ -160,3 +160,21 @@ def test_trim_long_silences_pipeline():
     g0 = int(sr * (1.5 + 1.0))
     g1 = g0 + int(sr * 0.15)
     assert mask[g0:g1].mean() > 0.9
+
+
+def test_trim_long_silences_keeps_pause_free_audio():
+    """A continuously-voiced clip has no internal silence to estimate a
+    noise floor from; the detector must fail OPEN (keep everything), not
+    zero the SNR of speech against itself and drop the whole utterance."""
+    from neuralsvb_tpu.ops.audio import trim_long_silences
+    sr = 22050
+    t = np.arange(int(sr * 3.0)) / sr
+    f0 = 220 * (1 + 0.04 * np.sin(2 * np.pi * 5 * t))  # vibrato singing
+    ph = 2 * np.pi * np.cumsum(f0) / sr
+    wav = (0.3 * sum(np.sin(k * ph) / k for k in range(1, 6))).astype(np.float32)
+    trimmed, mask, _ = trim_long_silences(wav, sr)
+    assert mask.mean() > 0.95 and len(trimmed) >= 0.95 * len(wav)
+    # a constant tone is the degenerate no-dynamic-range case
+    tone = (0.2 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    _, mask_tone, _ = trim_long_silences(tone, sr)
+    assert mask_tone.all()

@@ -173,6 +173,12 @@ def test_wire_pack_rejects_int8_out_of_window():
                "prof_mels": np.zeros((2, 4, 8), np.float32)}
         with pytest.raises(ValueError, match="int8"):
             wire_pack(bad)
+        # NaN compares False against the window bounds; it must raise, not
+        # quantize to a plausible-looking mel code
+        nan = {"mels": np.full((2, 4, 8), np.nan, np.float32),
+               "prof_mels": np.zeros((2, 4, 8), np.float32)}
+        with pytest.raises(ValueError, match="non-finite"):
+            wire_pack(nan)
     finally:
         if saved is None:
             hparams.pop("wire_dtype", None)
