@@ -86,10 +86,20 @@ class HifiGanGenerator(nn.Module):
         hop = int(np.prod(self.upsample_rates))
         har_source = None
         if self.use_pitch_embed and f0 is not None:
-            f0_up = jnp.repeat(f0[:, :, None], hop, axis=1)  # nearest x hop
+            # The sine source accumulates phase over T*hop samples — that
+            # cumsum NEEDS f32 (bf16 phase drifts audibly within a second).
+            # But everything DOWNSTREAM of the source is plain convs, so the
+            # result is cast to the compute dtype (mel's dtype): without
+            # this, a bf16 run silently promotes back to f32 at the first
+            # `x + noise_conv(har_source)` and the entire upsample/resblock
+            # chain — the HBM-bandwidth-bound bulk of the model — runs f32
+            # (measured: bf16 device time was identical to f32 without it).
+            f0_up = jnp.repeat(f0.astype(jnp.float32)[:, :, None], hop,
+                               axis=1)  # nearest x hop
             har_source, _, _ = SourceModuleHnNSF(
                 self.audio_sample_rate, self.harmonic_num,
                 name="m_source")(f0_up)  # [B, T*hop, 1]
+            har_source = har_source.astype(mel.dtype)
 
         x = nn.Conv(self.upsample_initial_channel, (7,), padding=[(3, 3)],
                     name="conv_pre")(mel)

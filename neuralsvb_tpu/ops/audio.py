@@ -155,6 +155,15 @@ def _subband_speech_flags(wav16k: np.ndarray, frame: int) -> np.ndarray:
     # below speech).
     total_db = 10 * np.log10(np.maximum(total, 1e-12))
     if float(np.percentile(total_db, 90) - total_db[quiet].mean()) < 15.0:
+        # < 15 dB dynamic range: either continuously voiced OR continuously
+        # silent — distinguish with an absolute energy floor (ADVICE r3).
+        # A 30 ms Hann window of speech at even a very quiet ~5e-4 RMS sums
+        # to > -25 dB band energy here; an all-silence/noise-only clip sits
+        # far below. Fail open (keep all) only when the loud windows carry
+        # real speech-level energy; otherwise the clip is silence and is
+        # trimmed in full (webrtcvad's behavior on silence-only input).
+        if float(np.percentile(total_db, 90)) < -25.0:
+            return np.zeros(n, bool)
         return np.ones(n, bool)
     floor = log_e[quiet].mean(0, keepdims=True)  # noise floor per band
     snr = np.maximum(log_e - floor, 0.0)

@@ -297,17 +297,27 @@ class Trainer:
             # the counter back — otherwise a checkpoint of task.state would
             # claim K updates that were never applied, and resume would skip
             # K batches and misalign LR/phase boundaries.
-            if pending is not None:
-                start = pending[2]
-                try:
-                    dispatch_pending()
-                except Exception:  # window never ran: reconcile the counter
-                    pending = None
-                    self.global_step = start
-                    task.global_step = start
-            if prefetch_pool is not None:
-                prefetch_pool.shutdown(wait=True)
-            pbar.close()
+            try:
+                if pending is not None:
+                    start = pending[2]
+                    try:
+                        dispatch_pending()
+                    except BaseException:  # window never ran: reconcile the
+                        # counter. BaseException: a second Ctrl-C during the
+                        # final dispatch must still roll back, else the saved
+                        # ckpt claims K updates that never applied (ADVICE r3)
+                        pending = None
+                        self.global_step = start
+                        task.global_step = start
+                        raise
+            except Exception:
+                pass  # counter reconciled; exit path continues to _save
+            finally:
+                # always release the prefetch thread and the progress bar,
+                # even on KeyboardInterrupt out of the rollback above
+                if prefetch_pool is not None:
+                    prefetch_pool.shutdown(wait=True)
+                pbar.close()
         task.on_train_end() if hasattr(task, "on_train_end") else None
         self._save(task)
 

@@ -100,7 +100,21 @@ class HifiGAN(BaseVocoder):
         self._rng = jax.random.PRNGKey(1234)
 
     def _forward(self, params, mel, f0, rng):
-        return self.model.apply({"params": params}, mel, f0, rngs={"noise": rng})
+        # vocoder_compute_dtype: bfloat16 (falls back to the global
+        # compute_dtype) halves the HBM traffic of the bandwidth-bound
+        # upsample/resblock chain; params stay f32 at rest and are cast
+        # in-program. f0 stays f32 — the NSF phase cumsum needs it (the
+        # generator casts the sine source to mel.dtype after synthesis).
+        cdt = self.hp.get("vocoder_compute_dtype",
+                          self.hp.get("compute_dtype"))
+        if cdt == "bfloat16":
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16)
+                if p.dtype == jnp.float32 else p, params)
+            mel = mel.astype(jnp.bfloat16)
+        wav = self.model.apply({"params": params}, mel, f0,
+                               rngs={"noise": rng})
+        return wav.astype(jnp.float32)
 
     def spec2wav(self, mel, f0=None, **kwargs):
         """mel: [T, 80] numpy; f0: [T] Hz or None -> wav [T*hop] numpy."""

@@ -110,3 +110,36 @@ def test_bf16_eval_matches_f32():
         assert outs[cdt].dtype == np.float32
     mae = np.abs(outs["float32"] - outs["bfloat16"]).mean()
     assert mae < 0.05, mae
+
+
+def test_hifigan_bf16_stays_bf16_past_nsf_injection():
+    """Regression for the bf16 vocoder non-speedup (VERDICT r3 weak #3):
+    the NSF sine source is synthesized in f32 (phase cumsum), and before
+    the fix its f32 dtype promoted `x + noise_conv(har_source)` — and the
+    whole bandwidth-bound resblock chain after it — back to f32. The
+    generator must cast the source to the compute dtype, so every resblock
+    output stays bf16 when params+mel are bf16 (f0 stays f32)."""
+    import jax.numpy as jnp
+    from neuralsvb_tpu.models.hifigan import HifiGanGenerator
+
+    model = HifiGanGenerator(
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), use_pitch_embed=True)
+    mel = np.random.RandomState(0).randn(1, 16, 80).astype(np.float32)
+    f0 = np.full((1, 16), 220.0, np.float32)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, mel, f0)["params"]
+    p16 = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    wav, st = model.apply(
+        {"params": p16}, mel.astype(jnp.bfloat16), f0,
+        rngs={"noise": jax.random.PRNGKey(2)}, capture_intermediates=True)
+    inter = st["intermediates"]
+    for name in ("resblock_0_0", "resblock_1_0"):
+        got = inter[name]["__call__"][0].dtype
+        assert got == jnp.bfloat16, (name, got)
+    # f32 reference comparison: bf16 output stays within bf16 tolerance
+    wav32 = model.apply({"params": params}, mel, f0,
+                        rngs={"noise": jax.random.PRNGKey(2)})
+    assert np.abs(np.asarray(wav, np.float32)
+                  - np.asarray(wav32)).mean() < 0.05

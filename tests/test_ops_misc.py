@@ -178,3 +178,15 @@ def test_trim_long_silences_keeps_pause_free_audio():
     tone = (0.2 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
     _, mask_tone, _ = trim_long_silences(tone, sr)
     assert mask_tone.all()
+
+
+def test_trim_long_silences_drops_silence_only_clip():
+    """All-silence/noise clips also have < 15 dB dynamic range, but must be
+    TRIMMED, not kept — the fail-open is gated on an absolute energy floor
+    (webrtcvad reports no speech on silence-only input)."""
+    from neuralsvb_tpu.ops.audio import trim_long_silences
+    sr = 22050
+    rng = np.random.RandomState(0)
+    noise = (1e-4 * rng.randn(int(sr * 3.0))).astype(np.float32)
+    _, mask, _ = trim_long_silences(noise, sr)
+    assert mask.mean() < 0.05
