@@ -91,9 +91,11 @@ class HifiGanGenerator(nn.Module):
             # But everything DOWNSTREAM of the source is plain convs, so the
             # result is cast to the compute dtype (mel's dtype): without
             # this, a bf16 run silently promotes back to f32 at the first
-            # `x + noise_conv(har_source)` and the entire upsample/resblock
-            # chain — the HBM-bandwidth-bound bulk of the model — runs f32
-            # (measured: bf16 device time was identical to f32 without it).
+            # `x + noise_conv(har_source)` and the whole upsample/resblock
+            # chain runs f32 — the knob would be a silent no-op. (Measured
+            # on v5e: even with the cast, explicit bf16 is ~10% slower than
+            # f32 here because XLA's f32 conv lowering already stores bf16
+            # tiles; the cast keeps the dtype contract honest, not fast.)
             f0_up = jnp.repeat(f0.astype(jnp.float32)[:, :, None], hop,
                                axis=1)  # nearest x hop
             har_source, _, _ = SourceModuleHnNSF(

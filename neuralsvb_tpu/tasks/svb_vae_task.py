@@ -208,8 +208,14 @@ def wire_unpack(buf, meta):
 
 
 def wire_decode(b, meta=None):
-    """Decode a wire batch inside a jitted step: packed buffer (meta given)
-    or plain dict (float32 mode / eval — no-op casts)."""
+    """Decode a wire batch inside a jitted step: device-cache indices
+    (meta ("cache", T_a, T_p) — assemble the padded batch on device from
+    the HBM-resident feature store, data/device_cache.py), packed buffer
+    (wire meta given), or plain dict (float32 mode / eval — no-op casts)."""
+    if meta is not None and meta[0] == "cache":
+        from ..data.device_cache import assemble_batch
+        return assemble_batch(b["cache"], b["idxs"], b["emb_idx"],
+                              meta[1], meta[2])
     if meta is not None:
         return wire_unpack(b, meta)
     out = dict(b)
@@ -243,6 +249,8 @@ class SVBVAETaskBase(BaseTask):
         self._step_cache: Dict = {}
         self.vocoder = None
         self.saving_result_pool = None
+        self._train_ds = None
+        self._device_cache = "unset"  # built lazily on the first train batch
 
     # ------------------------------------------------------------------
     def _step_rng(self, step: int):
@@ -673,10 +681,18 @@ class SVBVAETaskBase(BaseTask):
         return map_step
 
     # ------------------------------------------------------------------
+    def _pick_emb_idx(self, batch, infer: bool) -> int:
+        """Random spk-emb column (reference: svb_vae_task.py:139-143). One
+        host RNG draw per training batch — the cache and wire paths consume
+        the stream identically, so switching modes keeps runs comparable."""
+        if infer:
+            return 0
+        return int(self._np_rng.randint(1, batch["multi_spk_emb"].shape[1]))
+
     def _prep_batch_host(self, batch, infer: bool = False):
         """Pick a random spk emb (reference: svb_vae_task.py:139-143); host
         side only."""
-        idx = 0 if infer else self._np_rng.randint(1, batch["multi_spk_emb"].shape[1])
+        idx = self._pick_emb_idx(batch, infer)
         return {
             "mels": batch["mels"], "prof_mels": batch["prof_mels"],
             "pitch": batch["pitch"].astype(np.int32),
@@ -685,9 +701,47 @@ class SVBVAETaskBase(BaseTask):
             "spk_emb": batch["multi_spk_emb"][:, idx],
         }
 
+    def _maybe_device_cache(self, batch):
+        """HBM-resident training-feature cache (data/device_cache.py): built
+        once from the train dataset when ``device_data_cache`` allows and the
+        set fits ``device_cache_budget_mb``; per-step transfer then drops
+        from megabytes of features to [B] int32 indices — the wall-time fix
+        for interconnect-bound hosts (scripts/profile_dispatch.py measured
+        ~22-35 MB/s to the chip, ~5x the step's device compute at flagship
+        dims). Returns None when streaming (the packed-wire path) applies."""
+        mode = hparams.get("device_data_cache", "auto")
+        if mode in (False, 0, "off", "false", "0") or "id" not in batch \
+                or self._train_ds is None:
+            return None
+        if self._device_cache == "unset":
+            from ..data.device_cache import DeviceFeatureCache
+            from ..parallel.mesh import replicated
+            budget = float(hparams.get("device_cache_budget_mb") or 4096.0)
+            try:
+                self._device_cache = DeviceFeatureCache.build(
+                    self._train_ds, sharding=replicated(self.mesh),
+                    budget_mb=budget)
+            except Exception as e:  # noqa: BLE001 — cache is an optimization
+                print(f"| device cache build failed ({e}); streaming batches")
+                self._device_cache = None
+        return self._device_cache
+
+    def _cache_meta(self, batch):
+        return ("cache", int(batch["mels"].shape[1]),
+                int(batch["prof_mels"].shape[1]))
+
     def _prep_batch(self, batch, infer: bool = False):
         """Host prep + shard onto the mesh (training only; eval batches may
         not divide the mesh, e.g. batch_size 1 at inference)."""
+        if not infer:
+            cache = self._maybe_device_cache(batch)
+            if cache is not None:
+                emb_idx = np.int32(self._pick_emb_idx(batch, infer))
+                idxs = shard_batch(
+                    {"idxs": np.ascontiguousarray(batch["id"], np.int32)},
+                    self.mesh)["idxs"]
+                b = {"idxs": idxs, "emb_idx": emb_idx, "cache": cache.arrays}
+                return b, self._cache_meta(batch)
         b = self._prep_batch_host(batch, infer)
         if infer:
             return b
@@ -776,9 +830,14 @@ class SVBVAETaskBase(BaseTask):
         dss = hparams["disc_start_steps"]
 
         @partial(jax.jit, donate_argnums=(0,), static_argnames=("meta",))
-        def cycle(state, batches, steps, base_rng, meta=None):
+        def cycle(state, batches, steps, base_rng, cache=None, meta=None):
             def body(state, inp):
                 b, step = inp
+                if cache is not None:
+                    # the resident feature store is loop-invariant: scan
+                    # carries it untouched; per-step leaves are just indices
+                    b = dict(b)
+                    b["cache"] = cache
                 rng = jax.random.fold_in(base_rng, step)
                 if phase in (1, 2):
                     k1, k2 = jax.random.split(rng)
@@ -810,9 +869,28 @@ class SVBVAETaskBase(BaseTask):
         (profiled: 30 MB/window through the remote relay vs ~190 ms of
         device compute; scripts/profile_cycle.py)."""
         K = len(batches)
-        hosts = [self._prep_batch_host(b) for b in batches]
         from ..parallel.mesh import stacked_batch_sharding
         sb = stacked_batch_sharding(self.mesh)
+        cache = self._maybe_device_cache(batches[0])
+        if cache is not None:
+            # device-cache mode: the window's wire payload is [K, B] int32
+            # indices + [K] emb columns (tens of bytes) — features gather
+            # from HBM inside the scanned step
+            idxs = np.stack([np.ascontiguousarray(b["id"], np.int32)
+                             for b in batches])
+            embs = np.asarray([self._pick_emb_idx(b, False) for b in batches],
+                              np.int32)
+            if jax.process_count() > 1:
+                from ..parallel.mesh import process_local_rows
+                idxs_dev = jax.make_array_from_process_local_data(
+                    sb, process_local_rows(idxs, axis=1))
+            else:
+                idxs_dev = jax.device_put(idxs, sb)
+            from ..parallel.mesh import replicated
+            embs_dev = jax.device_put(embs, replicated(self.mesh))
+            stacked = {"idxs": idxs_dev, "emb_idx": embs_dev}
+            return stacked, self._cache_meta(batches[0]), K
+        hosts = [self._prep_batch_host(b) for b in batches]
         if hparams.get("wire_dtype", "float16") != "float32":
             packed = [wire_pack(h) for h in hosts]
             meta = packed[0][1]
@@ -867,8 +945,11 @@ class SVBVAETaskBase(BaseTask):
         if key not in self._step_cache:
             self._step_cache[key] = self._make_cycle_step(
                 phase, ways, disc_on, run_disc)
+        cache_arrays = (self._device_cache.arrays
+                        if meta is not None and meta[0] == "cache" else None)
         self.state, logs = self._step_cache[key](
-            self.state, stacked, steps, self._base_rng, meta=meta)
+            self.state, stacked, steps, self._base_rng, cache=cache_arrays,
+            meta=meta)
         return logs
 
     # ------------------------------------------------------------------
@@ -898,8 +979,31 @@ class SVBVAETaskBase(BaseTask):
             self._step_cache[key] = eval_step
         return self._step_cache[key]
 
+    def _shard_infer(self) -> bool:
+        """Shard eval/test batches over the data mesh (multi-chip serving).
+        ``shard_infer: true`` + ``infer_batch_size`` a multiple of the mesh
+        size runs test_step on all chips at once (params are already
+        replicated; no collectives at inference). Indivisible batches (the
+        test set's ragged tail) fall back to single-device placement, so no
+        utterance is dropped (the reference emits every item,
+        svb_vae_task.py:302-381)."""
+        return (bool(hparams.get("shard_infer")) and self.n_devices > 1
+                and jax.process_count() == 1)
+
     def _eval_forward(self, batch, ways):
         b = self._prep_batch(batch, infer=True)
+        if self._shard_infer() and batch["nsamples"] % self.n_devices == 0:
+            b = shard_batch(b, self.mesh)
+        elif jax.process_count() > 1:
+            # multi-host: params are global (replicated over the mesh); the
+            # eval batch must join that mesh or jit sees incompatible device
+            # placements. Every host runs validation on the SAME batch
+            # (identically-seeded loaders — the shard_batch contract), so
+            # replicate it.
+            from ..parallel.mesh import put_global, replicated
+            rep = replicated(self.mesh)
+            b = {k: put_global(v, rep) if isinstance(v, np.ndarray) else v
+                 for k, v in b.items()}
         out, losses = self._eval_step_fn(ways)(
             self.state["params"], self.state["batch_stats"], b, self._next_rng())
         return out, losses, b
@@ -1051,6 +1155,7 @@ class SVBVAETaskBase(BaseTask):
         from ..data.datasets import maybe_concat_dataset
         ds = maybe_concat_dataset(self.dataset_cls,
                                   hparams["train_set_name"], shuffle=True)
+        self._train_ds = ds  # device-cache source (_maybe_device_cache)
         return self.build_dataloader(ds, True, hparams["max_tokens"],
                                      hparams["max_sentences"],
                                      endless=hparams["endless_ds"],

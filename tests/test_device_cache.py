@@ -1,0 +1,195 @@
+"""Device-resident feature cache (data/device_cache.py): on-device batch
+assembly must equal the host collate + packed-wire path exactly, and the
+cached training mode must reproduce the streamed mode's losses/params.
+
+Why this matters: the cache replaces megabytes/step of host->device batch
+transfer with [B]-int32 indices (the measured training wall bottleneck on
+interconnect-bound hosts); any assembly mismatch would silently train on
+wrong data while all shapes stay plausible."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests.test_cycle import TINY
+
+
+class FakeDataset:
+    """Minimal MultiSpkEmbDataset stand-in: per-item post-crop features."""
+
+    def __init__(self, n=6, seed=0):
+        rng = np.random.RandomState(seed)
+        self.items, self.sizes = [], []
+        for i in range(n):
+            Ta = 48 + 4 * (i % 3)
+            Tp = 52 + 4 * (i % 2)
+            self.items.append(dict(
+                id=i,
+                mel=(rng.randn(Ta, 80).astype(np.float32) - 2),
+                prof_mel=(rng.randn(Tp, 80).astype(np.float32) - 2),
+                pitch=rng.randint(1, 255, Ta).astype(np.int64),
+                prof_pitch=rng.randint(1, 255, Tp).astype(np.int64),
+                a2p_f0_alignment=np.clip(np.arange(Tp) * Ta // Tp, 0,
+                                         Ta - 1).astype(np.int64),
+                multi_spk_emb=rng.randn(5, 256).astype(np.float32),
+            ))
+            self.sizes.append(max(Ta, Tp))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def collate(ds, idxs):
+    """Collate like MultiSpkEmbDataset.collater (0-padded to batch max)."""
+    samples = [ds[i] for i in idxs]
+    Ta = max(len(s["mel"]) for s in samples)
+    Tp = max(len(s["prof_mel"]) for s in samples)
+
+    def pad(key, T, dtype):
+        out = np.zeros((len(samples), T) + samples[0][key].shape[1:], dtype)
+        for j, s in enumerate(samples):
+            out[j, : len(s[key])] = s[key]
+        return out
+
+    return dict(
+        id=np.asarray(idxs, np.int64),
+        nsamples=len(samples),
+        mels=pad("mel", Ta, np.float32),
+        prof_mels=pad("prof_mel", Tp, np.float32),
+        pitch=pad("pitch", Ta, np.int32),
+        prof_pitch=pad("prof_pitch", Tp, np.int32),
+        a2p_f0_alignment=pad("a2p_f0_alignment", Tp, np.int32),
+        multi_spk_emb=np.stack([s["multi_spk_emb"] for s in samples]),
+    )
+
+
+def test_assemble_matches_host_collate():
+    """assemble_batch == collate + f16 wire quantization, bit for bit."""
+    from neuralsvb_tpu.data.device_cache import (DeviceFeatureCache,
+                                                 assemble_batch)
+    ds = FakeDataset()
+    cache = DeviceFeatureCache.build(ds, verbose=False)
+    assert cache is not None and cache.n_items == len(ds)
+
+    idxs = [4, 1, 2]
+    host = collate(ds, idxs)
+    emb_idx = 3
+    got = jax.jit(assemble_batch, static_argnames=("T_a", "T_p"))(
+        cache.arrays, np.asarray(idxs, np.int32), np.int32(emb_idx),
+        T_a=host["mels"].shape[1], T_p=host["prof_mels"].shape[1])
+
+    np.testing.assert_array_equal(
+        np.asarray(got["mels"]), host["mels"].astype(np.float16).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(got["prof_mels"]),
+        host["prof_mels"].astype(np.float16).astype(np.float32))
+    for k in ("pitch", "prof_pitch", "a2p_f0_alignment"):
+        np.testing.assert_array_equal(np.asarray(got[k]), host[k])
+    np.testing.assert_array_equal(np.asarray(got["spk_emb"]),
+                                  host["multi_spk_emb"][:, emb_idx])
+
+
+def test_budget_and_id_guards():
+    from neuralsvb_tpu.data.device_cache import (DeviceFeatureCache,
+                                                 estimate_cache_mb)
+    ds = FakeDataset()
+    assert estimate_cache_mb(ds) > 0
+    assert DeviceFeatureCache.build(ds, budget_mb=0.0001,
+                                    verbose=False) is None
+
+    class Remapped(FakeDataset):
+        def __getitem__(self, i):
+            s = dict(super().__getitem__(i))
+            s["id"] = 0  # member-local ids (BaseConcatDataset shape)
+            return s
+
+    assert DeviceFeatureCache.build(Remapped(), verbose=False) is None
+
+
+def _make_task(extra=None):
+    from neuralsvb_tpu.hparams import hparams
+    from neuralsvb_tpu.tasks.svb_vae_task import SVBVAEMleTask
+    hparams.clear()
+    hparams.update(TINY)
+    hparams.update(extra or {})
+    task = SVBVAEMleTask()
+    task.build_model()
+    return task
+
+
+@pytest.mark.slow
+def test_cached_training_matches_wire():
+    """gen+disc+map steps and the fused cycle produce identical losses and
+    params whether batches stream over the packed f16 wire or assemble from
+    the device cache (both quantize mels to f16)."""
+    ds = FakeDataset()
+    batches = [collate(ds, [0, 1]), collate(ds, [2, 3])]
+
+    def run(task):
+        losses = []
+        for i, b in enumerate(batches):
+            step = 5 + i
+            ret = task.training_step(b, step, 0)
+            d = {f"g/{k}": float(v) for k, v in ret[1].items()
+                 if not k.startswith("lr_")}
+            ret = task.training_step(b, step, 1)
+            d.update({f"d/{k}": float(v) for k, v in ret[1].items()
+                      if not k.startswith("lr_")})
+            # phase-3 map step on the same batch
+            ret = task.training_step(b, 200 + i, 2)
+            d.update({f"m/{k}": float(v) for k, v in ret[1].items()
+                      if not k.startswith("lr_")})
+            losses.append(d)
+        return losses, jax.device_get(task.state["params"])
+
+    task_wire = _make_task({"device_data_cache": "off"})
+    task_wire._train_ds = ds
+    l_wire, p_wire = run(task_wire)
+    assert task_wire._device_cache == "unset"  # stayed on the wire path
+
+    task_cache = _make_task({"device_data_cache": "on"})
+    task_cache._train_ds = ds
+    l_cache, p_cache = run(task_cache)
+    assert task_cache._device_cache is not None
+    assert task_cache._device_cache != "unset"
+
+    for a, b in zip(l_wire, l_cache):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6,
+                                       err_msg=k)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6),
+        p_wire, p_cache)
+
+
+@pytest.mark.slow
+def test_cached_cycle_matches_wire_cycle():
+    """Fused K-step cycle over cache indices == over packed wire windows,
+    including the prepare_cycle prefetch handle."""
+    ds = FakeDataset()
+    # same (Ta, Tp) across the window (the trainer's shape-signature rule)
+    batches = [collate(ds, [0, 3]), collate(ds, [3, 0])]
+
+    task_wire = _make_task({"device_data_cache": "off"})
+    task_wire._train_ds = ds
+    logs_w = task_wire.training_cycle(batches, 5)
+
+    task_cache = _make_task({"device_data_cache": "on"})
+    task_cache._train_ds = ds
+    prepared = task_cache.prepare_cycle(batches)
+    assert prepared[1][0] == "cache"
+    # the window payload is indices only: ~K*B*4 bytes on the wire
+    assert prepared[0]["idxs"].nbytes <= 64
+    logs_c = task_cache.training_cycle(batches, 5, prepared=prepared)
+
+    assert logs_w.keys() == logs_c.keys()
+    for k in logs_w:
+        np.testing.assert_allclose(np.asarray(logs_w[k]),
+                                   np.asarray(logs_c[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)

@@ -108,8 +108,9 @@ from neuralsvb_tpu.hparams import hparams, load_config_recursive
 cfg = load_config_recursive("egs/datasets/audio/PopBuTFy/vae_global_mle_eng.yaml")
 cfg.update(json.load(open(f"{root}/common.json")))
 cfg.update(work_dir=f"{root}/work_fit", mesh_shape="",  # all 4 global devices
-           max_updates=6, val_check_interval=10**9, num_sanity_val_steps=0,
-           endless_ds=True)
+           max_updates=10, val_check_interval=5, num_sanity_val_steps=0,
+           endless_ds=True, steps_per_dispatch=2, num_ckpt_keep=5,
+           valid_infer_interval=10**9, num_valid_plots=0)
 hparams.clear(); hparams.update(cfg)
 from neuralsvb_tpu.tasks.svb_vae_task import SVBVAEMleTask
 from neuralsvb_tpu.training.trainer import Trainer
@@ -126,27 +127,44 @@ probe = next(iter(task.train_dataloader()))
 g = shard_batch({"mels": probe["mels"]}, task.mesh)["mels"]
 assert g.shape[0] == probe["mels"].shape[0], (g.shape, probe["mels"].shape)
 
-trainer = Trainer(work_dir=cfg["work_dir"], val_check_interval=10**9,
-                  tb_log_interval=10**9, max_updates=6,
-                  num_sanity_val_steps=0, save_best=False)
+# 10 steps with K=2 fused windows + validation (incl. replicated eval
+# forward) at steps 5 and 10 + rank-0 checkpoint saves
+trainer = Trainer(work_dir=cfg["work_dir"], val_check_interval=5,
+                  tb_log_interval=10**9, max_updates=10,
+                  num_sanity_val_steps=0, save_best=False, num_ckpt_keep=5)
 trainer.fit(task)
-assert task.global_step == 6, task.global_step
+assert task.global_step == 10, task.global_step
 
-params = jax.device_get(task.state["params"])
-h = hashlib.sha256()
-for leaf in jax.tree_util.tree_leaves(params):
-    h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
-print(f"| fit child {pid} digest {h.hexdigest()}")
+def digest(task):
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(jax.device_get(task.state["params"])):
+        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    return h.hexdigest()
+
+print(f"| fit child {pid} digest {digest(task)}")
 
 from jax.experimental import multihost_utils
 multihost_utils.sync_global_devices("after_fit")  # p0 finished saving
 import glob
 ckpts = sorted(glob.glob(f"{cfg['work_dir']}/model_ckpt_steps_*.ckpt"))
 assert ckpts, "process 0 wrote no checkpoint"
+assert any("steps_10" in c for c in ckpts), ckpts
 from neuralsvb_tpu.training.checkpoint import restore_checkpoint
 state, step, epoch, best = restore_checkpoint(task.state_template(),
                                               cfg["work_dir"])
-assert step == 6, step
+assert step == 10, step
+
+# restore-and-continue on ALL hosts: a fresh Trainer restores step 10 and
+# trains to 14; final params must again agree bit-for-bit across hosts
+hparams["max_updates"] = 14
+task2 = SVBVAEMleTask()
+trainer2 = Trainer(work_dir=cfg["work_dir"], val_check_interval=10**9,
+                   tb_log_interval=10**9, max_updates=14,
+                   num_sanity_val_steps=0, save_best=False, num_ckpt_keep=5)
+trainer2.fit(task2)
+assert task2.global_step == 14, task2.global_step
+print(f"| resume child {pid} digest {digest(task2)}")
+multihost_utils.sync_global_devices("after_resume")
 print(f"| fit child {pid} OK")
 """
 
@@ -206,9 +224,9 @@ def test_multihost_trainer_fit(tmp_path):
     (tmp_path / "common.json").write_text(json.dumps(common))
     script = tmp_path / "fit_child.py"
     script.write_text(FIT_CHILD % {"repo": REPO})
-    outs, procs = _run_children(script, timeout=900,
+    outs, procs = _run_children(script, timeout=1200,
                                 extra_args=[_free_port(), str(tmp_path)])
-    digests = []
+    digests, resume_digests = [], []
     for pid, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0:  # a distributed failure cascades: show BOTH logs
             allout = "\n".join(
@@ -218,4 +236,8 @@ def test_multihost_trainer_fit(tmp_path):
         assert f"fit child {pid} OK" in out
         digests.append([ln for ln in out.splitlines()
                         if f"fit child {pid} digest" in ln][0].split()[-1])
+        resume_digests.append([ln for ln in out.splitlines()
+                               if f"resume child {pid} digest" in ln][0].split()[-1])
     assert digests[0] == digests[1], "final params diverged across hosts"
+    assert resume_digests[0] == resume_digests[1], \
+        "restored-and-continued params diverged across hosts"
