@@ -468,14 +468,14 @@ def bench_binarize(n_pairs: int = 3, dur_s: float = 5.0):
 
     if os.environ.get("NSVB_BINBENCH_CHILD") != "1":
         env = dict(os.environ, NSVB_BINBENCH_CHILD="1", NSVB_PLATFORM="cpu")
-        code = (f"import sys; sys.path.insert(0, {os.getcwd()!r}); "
-                f"import bench; print(bench.bench_binarize("
-                f"{n_pairs}, {dur_s}))")
+        code = (f"import sys, json; sys.path.insert(0, {os.getcwd()!r}); "
+                f"import bench; print(json.dumps(bench.bench_binarize("
+                f"{n_pairs}, {dur_s})))")
         r = subprocess.run([sys.executable, "-c", code], env=env,
                            capture_output=True, text=True, timeout=600)
         if r.returncode != 0:
             raise RuntimeError(r.stderr.strip().splitlines()[-1][:200])
-        return float(r.stdout.strip().splitlines()[-1])
+        return json.loads(r.stdout.strip().splitlines()[-1])
 
     from neuralsvb_tpu.data.binarizer import PopBuTFyENBinarizer
     from neuralsvb_tpu.hparams import hparams, load_config_recursive
@@ -503,15 +503,21 @@ def bench_binarize(n_pairs: int = 3, dur_s: float = 5.0):
     bargs = {"with_f0": True}
     # warm (jit the DSP kernels once)
     PopBuTFyENBinarizer.process_item("w", pairs[0][0], 0, pairs[0][1], bargs)
+    from neuralsvb_tpu.data import binarizer as _bz
+    _bz.STAGE_TIMES.clear()
     t0 = time.perf_counter()
     audio = 0.0
     for i, (a_fn, p_fn) in enumerate(pairs):
         res = PopBuTFyENBinarizer.process_item(f"it{i}", a_fn, 0, p_fn, bargs)
         audio += res["sec"] + res["prof_sec"]
     wall = time.perf_counter() - t0
+    staged = dict(_bz.STAGE_TIMES)
+    staged["other"] = max(0.0, wall - sum(staged.values()))
     hparams.clear()
     hparams.update(saved)
-    return audio / wall
+    return {"audio_sec_per_sec_per_worker": round(audio / wall, 2),
+            "breakdown_pct": {k: round(100 * v / wall, 1)
+                              for k, v in sorted(staged.items())}}
 
 
 def _probe_backend(timeout_s: float = 240.0):

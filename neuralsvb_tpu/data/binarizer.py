@@ -33,6 +33,7 @@ import json
 import os
 import random
 import re
+import time
 import traceback
 from copy import deepcopy
 
@@ -49,9 +50,30 @@ class BinarizationError(Exception):
     pass
 
 
+# Per-stage wall-time accumulator (seconds), per worker process. Costs two
+# perf_counter() calls per stage per item — negligible next to the stages
+# themselves. bench.py's binarize_breakdown reads/resets it to attribute
+# throughput to STFT/mel vs pitch vs DTW (VERDICT r3 #6).
+STAGE_TIMES: dict = {}
+
+
+class _stage:
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+
+    def __exit__(self, *exc):
+        STAGE_TIMES[self.name] = (STAGE_TIMES.get(self.name, 0.0)
+                                  + time.perf_counter() - self.t0)
+        return False
+
+
 def _wav2spec(wav_fn):
     from ..vocoders.base import get_vocoder_cls
-    return get_vocoder_cls(hparams).wav2spec(wav_fn)
+    with _stage("stft_mel"):
+        return get_vocoder_cls(hparams).wav2spec(wav_fn)
 
 
 def split_train_test_set(item_names):
@@ -360,7 +382,8 @@ class BaseBinarizer:
     @staticmethod
     def get_pitch(res, prefix=""):
         wav, mel = res[f"{prefix}wav"], res[f"{prefix}mel"]
-        f0, pitch_coarse = get_pitch(wav, mel, hparams)
+        with _stage("pitch"):
+            f0, pitch_coarse = get_pitch(wav, mel, hparams)
         if np.sum(f0) == 0:
             raise BinarizationError("Empty f0")
         res[f"{prefix}f0"] = f0
@@ -489,7 +512,8 @@ class PopBuTFyENBinarizer(SingingBinarizer):
         if prefix != "a2p":
             return
         fn = dtw_ops.ALIGN_FUNCS[choosed_func]
-        _aligned, alignment = fn(amateur_f0, prof_f0, amateur_f0)
+        with _stage("dtw_align"):
+            _aligned, alignment = fn(amateur_f0, prof_f0, amateur_f0)
         res[f"{prefix}_f0_alignment"] = np.asarray(alignment)
 
     @classmethod

@@ -66,7 +66,14 @@ class ResBlock2(nn.Module):
 
 
 class HifiGanGenerator(nn.Module):
-    """Config keys follow the reference yaml (upsample_rates, etc.)."""
+    """Config keys follow the reference yaml (upsample_rates, etc.).
+
+    ``fuse_resblocks``: "auto" runs each upsample stage's 3-tower ResBlock
+    cluster as one Pallas kernel on TPU (ops/fused_resblock.py) — one HBM
+    round-trip instead of 18 conv-sized ones; "on"/"off" force it (tests use
+    "on" with the CPU interpreter). Init always traces the unfused towers so
+    the param tree (and torch-ckpt converter) is identical either way.
+    """
     upsample_rates: Sequence[int] = (8, 8, 2, 2)
     upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
     upsample_initial_channel: int = 512
@@ -78,6 +85,7 @@ class HifiGanGenerator(nn.Module):
     num_mels: int = 80
     harmonic_num: int = 8
     c_out: int = 1
+    fuse_resblocks: str = "auto"
 
     @nn.compact
     def __call__(self, mel, f0=None):
@@ -106,6 +114,12 @@ class HifiGanGenerator(nn.Module):
         x = nn.Conv(self.upsample_initial_channel, (7,), padding=[(3, 3)],
                     name="conv_pre")(mel)
         res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
+        fuse = (self.fuse_resblocks == "on"
+                or (self.fuse_resblocks == "auto"
+                    and jax.default_backend() == "tpu"))
+        # The fused kernel reads tower params directly, so they must already
+        # exist — init (and ResBlock2 configs) take the unfused path.
+        fuse = fuse and self.resblock == "1" and not self.is_initializing()
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             c_cur = self.upsample_initial_channel // (2 ** (i + 1))
             x = nn.leaky_relu(x, LRELU_SLOPE)
@@ -125,12 +139,25 @@ class HifiGanGenerator(nn.Module):
                 else:
                     xs_src = nn.Conv(c_cur, (1,), name=f"noise_conv_{i}")(har_source)
                 x = x + xs_src[:, : x.shape[1]]
-            xs = None
-            for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
-                                             self.resblock_dilation_sizes)):
-                rb = res_cls(c_cur, rk, tuple(rd), name=f"resblock_{i}_{j}")(x)
-                xs = rb if xs is None else xs + rb
-            x = xs / num_kernels
+            if fuse:
+                from ..ops.fused_resblock import fused_resblock_cluster
+                mm = jnp.bfloat16 if x.dtype == jnp.bfloat16 else (
+                    jnp.bfloat16 if jax.default_backend() == "tpu"
+                    else jnp.float32)
+                p = self.variables["params"]
+                towers = [p[f"resblock_{i}_{j}"]
+                          for j in range(num_kernels)]
+                x = fused_resblock_cluster(
+                    x, towers, self.resblock_kernel_sizes,
+                    self.resblock_dilation_sizes, mm_dtype=mm)
+            else:
+                xs = None
+                for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
+                                                 self.resblock_dilation_sizes)):
+                    rb = res_cls(c_cur, rk, tuple(rd),
+                                 name=f"resblock_{i}_{j}")(x)
+                    xs = rb if xs is None else xs + rb
+                x = xs / num_kernels
         x = nn.leaky_relu(x)
         x = nn.Conv(self.c_out, (7,), padding=[(3, 3)], name="conv_post")(x)
         return jnp.tanh(x)[..., 0]

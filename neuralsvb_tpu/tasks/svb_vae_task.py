@@ -962,8 +962,13 @@ class SVBVAETaskBase(BaseTask):
         return ("a2a", "p2p", "a2p")
 
     def _eval_step_fn(self, ways):
-        """Jitted eval forward + losses (eager apply would dispatch op-by-op)."""
-        key = ("eval", ways)
+        """Jitted eval forward + losses (eager apply would dispatch op-by-op).
+
+        ``disable_map`` is baked into the trace (_apply_model reads hparams
+        at trace time), so it must be part of the cache key — otherwise
+        toggling it mid-session (e.g. an a2p-with-map vs disable_map A/B in
+        one process) silently reuses the stale compiled step."""
+        key = ("eval", ways, bool(hparams.get("disable_map", False)))
         if key not in self._step_cache:
             @jax.jit
             def eval_step(params, batch_stats, b, rng):

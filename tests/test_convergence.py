@@ -1,0 +1,199 @@
+"""Convergence artifact (VERDICT r3 #4): train the tiny flagship config
+through the full phase-2 -> phase-3 schedule on synthetic parallel data with
+a REAL amateur/professional timbre gap, then show the trained latent mapping
+function earns its keep at inference.
+
+Asserts, over a ~500-step run:
+- phase 2: masked mel reconstruction (l1 a2a+p2p) improves substantially and
+  every gen/disc loss stays finite (GAN stability);
+- phase 3: the MLE mapping loss improves and stays finite;
+- inference: a2p MCD vs the ground-truth professional mel (computed via
+  tasks/mcd_eval.evaluate_dirs, the parity harness) is LOWER with the
+  mapping enabled than with disable_map=true — the mapping moves amateur
+  latents toward the professional posterior, which no parity test
+  (random-init, single forward) can check.
+
+Synthetic data: professional takes are harmonically rich (bright), amateur
+takes are a detuned pure sine (dull) — a global timbre difference exactly
+shaped for the global-latent VAE (reference phase machine:
+tasks/singing/svb_vae_task.py:587-676; mapping: svb_vae.py:251-312).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+SR = 22050
+
+
+def _tone(freq, dur, seed, harmonics):
+    """Vibrato tone with the given harmonic amplitude stack."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(int(SR * dur)) / SR
+    vib = freq * (1 + 0.02 * np.sin(2 * np.pi * 5.5 * t))
+    phase = 2 * np.pi * np.cumsum(vib) / SR
+    wav = sum(a * np.sin((i + 1) * phase) for i, a in enumerate(harmonics))
+    wav = 0.25 * wav / max(1e-6, np.abs(wav).max())
+    return (wav + 0.005 * rng.randn(len(t))).astype(np.float32)
+
+
+AMATEUR = (1.0,)                      # dull: fundamental only
+PROF = (1.0, 0.6, 0.45, 0.3, 0.2)     # bright: rich harmonic stack
+
+
+@pytest.fixture(scope="module")
+def conv_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("svb_conv")
+    from neuralsvb_tpu.hparams import hparams, load_config_recursive
+    from neuralsvb_tpu.ops.audio import save_wav
+
+    data_dir = root / "processed" / "data" / "p1"
+    data_dir.mkdir(parents=True)
+    songs = [("Female1", "SongA", 220.0), ("Female1", "SongB", 262.0),
+             ("Male6", "SongC", 165.0)]
+    for spk, song, freq in songs:
+        for idx in range(2):
+            dur = 1.0 + 0.1 * idx
+            save_wav(_tone(freq * 1.03, dur, idx, AMATEUR),
+                     str(data_dir / f"{spk}#singing#{song}_Amateur_{idx}.wav"),
+                     SR)
+            save_wav(_tone(freq, dur * 0.95, idx + 9, PROF),
+                     str(data_dir /
+                         f"{spk}#singing#{song}_Professional_{idx}.wav"), SR)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.chdir(repo)
+    common = {
+        "processed_data_dir": str(root / "processed"),
+        "binary_data_dir": str(root / "binary"),
+        "spk_emb_data_dir": str(root / "spk_emb"),
+        "work_dir": str(root / "work"),
+        "hidden_size": 32, "latent_size": 8, "fvae_enc_dec_hidden": 16,
+        "fvae_enc_n_layers": 2, "fvae_dec_n_layers": 2,
+        "asr_enc_layers": 1, "asr_dec_layers": 1,
+        "mel_disc_hidden_size": 8, "disc_win_num": 2,
+        "max_frames": 200, "max_tokens": 2000, "max_sentences": 2,
+        "test_prefixes": ["Male6#singing#"],
+        "pretrain_asr_ckpt": "", "vocoder_ckpt": str(root / "novocoder"),
+        "upsample_rates": [8, 4, 4], "upsample_kernel_sizes": [16, 8, 8],
+        "upsample_initial_channel": 8, "use_pitch_embed": True,
+        "ds_workers": 1, "infer": False, "num_test_samples": 0,
+        "ge2e_ckpt": "", "mesh_shape": "data:1",
+        "num_valid_plots": 0, "valid_infer_interval": 10 ** 9,
+        "gen_dir_name": "",
+        # phase schedule under test
+        "phase_1_steps": -1, "phase_2_steps": 300, "disc_start_steps": 0,
+        "lr": 0.05, "warmup_updates": 20, "disc_lr": 0.02, "map_lr": 0.05,
+    }
+    bin_cfg = load_config_recursive("egs/datasets/audio/PopBuTFy/para_bin.yaml")
+    bin_cfg.update(common)
+    hparams.clear()
+    hparams.update(bin_cfg)
+    from neuralsvb_tpu.data.binarizer import (PopBuTFyENSpkEMBinarizer,
+                                              SaveSpkEmb)
+    SaveSpkEmb().process()
+    PopBuTFyENSpkEMBinarizer().process()
+
+    cfg = load_config_recursive(
+        "egs/datasets/audio/PopBuTFy/vae_global_mle_eng.yaml")
+    cfg.update(common)
+    return root, cfg
+
+
+def test_three_phase_convergence_and_mapping_wins(conv_env):
+    root, cfg = conv_env
+    from neuralsvb_tpu.hparams import hparams
+    hparams.clear()
+    hparams.update(cfg)
+    from neuralsvb_tpu.tasks.mcd_eval import evaluate_dirs
+    from neuralsvb_tpu.tasks.svb_vae_task import SVBVAEMleTask
+
+    np.random.seed(1234)
+    task = SVBVAEMleTask()
+    task.build_model()
+    batches = []
+    for i, b in enumerate(task.train_dataloader()):
+        batches.append(b)
+        if i >= 1:
+            break
+    assert batches
+
+    p2_steps = int(hparams["phase_2_steps"])
+    p3_extra = 200
+    recon, mles = [], []
+    for step in range(p2_steps + p3_extra):
+        task.global_step = step
+        batch = batches[step % len(batches)]
+        for opt_idx in range(3):
+            ret = task.training_step(batch, step, opt_idx)
+            if ret is None:
+                continue
+            total, logs = ret
+            assert np.isfinite(float(total)), (step, opt_idx, logs)
+            for k, v in logs.items():
+                assert np.isfinite(float(v)), (step, opt_idx, k, logs)
+            if opt_idx == 0 and "l1p2p" in logs:
+                recon.append(float(logs["l1p2p"]) + float(logs["l1a2a"]))
+            if opt_idx == 2:
+                mle = [v for k, v in logs.items() if k.endswith("_mle")]
+                if mle:
+                    mles.append(float(mle[0]))
+
+    # phase 2: reconstruction must improve markedly (GAN stays finite above)
+    assert len(recon) >= p2_steps - 1
+    early = float(np.mean(recon[5:35]))
+    late = float(np.mean(recon[-30:]))
+    assert late < 0.75 * early, (early, late)
+
+    # phase 3: the mapping MLE objective must improve
+    assert len(mles) >= p3_extra - 1
+    mle_early = float(np.mean(mles[:30]))
+    mle_late = float(np.mean(mles[-30:]))
+    assert mle_late < mle_early, (mle_early, mle_late)
+
+    # mechanism: the trained mapping must move amateur latents toward the
+    # professional posterior — the a2p MLE (-log p_prof(z)) evaluated on the
+    # TEST batch must be far lower for map(z_a) than for raw z_a
+    test_batches = list(task.test_dataloader())
+    assert test_batches
+    hparams["disable_map"] = False
+    _, losses_map, _ = task._eval_forward(test_batches[0],
+                                          ("a2a", "p2p", "a2p"))
+    hparams["disable_map"] = True
+    _, losses_nomap, _ = task._eval_forward(test_batches[0],
+                                            ("a2a", "p2p", "a2p"))
+    hparams["disable_map"] = False
+    mle_map = float(losses_map["a2p_mle"])
+    mle_nomap = float(losses_nomap["a2p_mle"])
+    print(f"| convergence artifact: test a2p MLE map={mle_map:.3f} "
+          f"nomap={mle_nomap:.3f}")
+    assert mle_map < mle_nomap, (mle_map, mle_nomap)
+
+    # inference: a2p with the trained mapping must beat disable_map on MCD
+    # vs the ground-truth professional mel (tasks/mcd_eval.py harness)
+    def run_infer(step_tag, disable_map):
+        hparams["infer"] = True
+        hparams["disable_map"] = disable_map
+        task.global_step = step_tag
+        task.test_start()
+        outs = []
+        for i, b in enumerate(task.test_dataloader()):
+            outs.append(task.test_step(b, i))
+        task.test_end(outs)
+        hparams["infer"] = False
+        gen = os.path.join(cfg["work_dir"], f"generated_{step_tag}_", "mels")
+        pre = "disable_map_" if disable_map else ""
+        return (os.path.join(gen, f"{pre}a2p_mel"),
+                os.path.join(gen, f"{pre}gt_p_mel"))
+
+    a2p_map, gtp = run_infer(9001, disable_map=False)
+    a2p_nomap, _ = run_infer(9002, disable_map=True)
+    mcd_map = evaluate_dirs(a2p_map, gtp)
+    mcd_nomap = evaluate_dirs(a2p_nomap, gtp)
+    print(f"| convergence artifact: MCD map={mcd_map:.3f} dB "
+          f"nomap={mcd_nomap:.3f} dB")
+    assert np.isfinite(mcd_map) and np.isfinite(mcd_nomap)
+    assert mcd_map < mcd_nomap, (mcd_map, mcd_nomap)
