@@ -29,6 +29,12 @@ import os
 import tempfile
 import time
 
+# Cache even sub-second compiles: the remote relay costs ~0.5 s per eager-op
+# compile and a cold bench process pays ~250 of them (~2 min) before the
+# first jitted program runs. Must be set before neuralsvb_tpu/__init__.py
+# reads it (respects an explicit override).
+os.environ.setdefault("NSVB_CACHE_MIN_COMPILE_SECS", "0")
+
 import numpy as np
 
 TARGET_RTF = 0.05
@@ -395,56 +401,54 @@ def bench_train_step(n_frames: int = 1536, batch: int = 12, iters: int = 5):
     # training mode): features live in HBM, the per-step wire payload is
     # [B] int32 indices, so wall collapses to device compute + dispatch/K.
     # This is the VERDICT r3 #1 fix: wall <= 1.5x device.
+    from neuralsvb_tpu.hparams import hparams_scope
     try:
-        hparams["device_data_cache"] = "on"
-        task_c = SVBVAEMleTask()
-        task_c.build_model()
-        task_c._train_ds = _synth_cache_ds(2 * batch, n_frames)
-        bc = dict(b)
-        bc["id"] = np.arange(batch).astype(np.int64)
-        t0 = time.perf_counter()
-        cache = task_c._maybe_device_cache(bc)
-        out["train_cache_upload_s"] = round(time.perf_counter() - t0, 2)
-        out["train_cache_mb"] = round(
-            sum(v.nbytes for v in cache.arrays.values()) / 1e6, 1)
-        batches_c = [bc] * K
-        for name, step in [("phase2", 5), ("phase3", 10 ** 6 + 5)]:
-            logs = task_c.training_cycle(batches_c, step)  # compile
-            float(jax.device_get(next(iter(logs.values()))[-1]))
+        with hparams_scope(device_data_cache="on"):
+            task_c = SVBVAEMleTask()
+            task_c.build_model()
+            task_c._train_ds = _synth_cache_ds(2 * batch, n_frames)
+            bc = dict(b)
+            bc["id"] = np.arange(batch).astype(np.int64)
             t0 = time.perf_counter()
-            for c in range(n_calls):
-                logs = task_c.training_cycle(batches_c, step + (c + 1) * K)
-            float(jax.device_get(next(iter(logs.values()))[-1]))
-            wall = max(time.perf_counter() - t0 - rtt, 1e-9) / (K * n_calls)
-            out[f"train_{name}_cached_cycle_wall_ms"] = round(wall * 1e3, 1)
+            cache = task_c._maybe_device_cache(bc)
+            out["train_cache_upload_s"] = round(time.perf_counter() - t0, 2)
+            out["train_cache_mb"] = round(
+                sum(v.nbytes for v in cache.arrays.values()) / 1e6, 1)
+            batches_c = [bc] * K
+            for name, step in [("phase2", 5), ("phase3", 10 ** 6 + 5)]:
+                logs = task_c.training_cycle(batches_c, step)  # compile
+                float(jax.device_get(next(iter(logs.values()))[-1]))
+                t0 = time.perf_counter()
+                for c in range(n_calls):
+                    logs = task_c.training_cycle(batches_c,
+                                                 step + (c + 1) * K)
+                float(jax.device_get(next(iter(logs.values()))[-1]))
+                wall = max(time.perf_counter() - t0 - rtt, 1e-9) / (K * n_calls)
+                out[f"train_{name}_cached_cycle_wall_ms"] = round(wall * 1e3, 1)
     except Exception as exc:  # noqa: BLE001 — cached rows are best-effort
         out["train_cached_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    finally:
-        hparams["device_data_cache"] = "off"
 
     # bf16 training (compute_dtype: bfloat16 — params f32, model body bf16):
     # phase-2 step-time ratio vs the f32 run above, same methodology
     try:
-        hparams["compute_dtype"] = "bfloat16"
-        task_b = SVBVAEMleTask()
-        task_b.build_model()
+        with hparams_scope(compute_dtype="bfloat16"):
+            task_b = SVBVAEMleTask()
+            task_b.build_model()
 
-        def cycle_b(step):
-            total = None
-            for opt in range(task_b.num_optimizers):
-                ret = task_b.training_step(b, step, opt)
-                if ret is not None:
-                    total = ret[0]
-            return total
+            def cycle_b(step):
+                total = None
+                for opt in range(task_b.num_optimizers):
+                    ret = task_b.training_step(b, step, opt)
+                    if ret is not None:
+                        total = ret[0]
+                return total
 
-        wall, dev = timed(cycle_b, 5, "train_phase2_bf16")
-        out["train_phase2_bf16_wall_ms"] = round(wall * 1e3, 1)
-        out["train_phase2_bf16_device_ms"] = (round(dev * 1e3, 1)
-                                              if dev else None)
+            wall, dev = timed(cycle_b, 5, "train_phase2_bf16")
+            out["train_phase2_bf16_wall_ms"] = round(wall * 1e3, 1)
+            out["train_phase2_bf16_device_ms"] = (round(dev * 1e3, 1)
+                                                  if dev else None)
     except Exception as exc:  # noqa: BLE001 — bf16 row is best-effort
         out["train_bf16_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    finally:
-        hparams["compute_dtype"] = hp.get("compute_dtype", "float32")
 
     if selfcheck:
         out["train_selfcheck"] = "; ".join(selfcheck)
@@ -478,15 +482,22 @@ def bench_binarize(n_pairs: int = 3, dur_s: float = 5.0):
         return json.loads(r.stdout.strip().splitlines()[-1])
 
     from neuralsvb_tpu.data.binarizer import PopBuTFyENBinarizer
-    from neuralsvb_tpu.hparams import hparams, load_config_recursive
+    from neuralsvb_tpu.hparams import (hparams, hparams_scope,
+                                       load_config_recursive)
     from neuralsvb_tpu.ops.audio import save_wav
 
-    cfg = load_config_recursive(
-        "egs/datasets/audio/PopBuTFy/para_bin.yaml")
-    saved = dict(hparams)
-    hparams.update(cfg)
+    cfg = dict(hparams)
+    cfg.update(load_config_recursive(
+        "egs/datasets/audio/PopBuTFy/para_bin.yaml"))
     tmp = tempfile.mkdtemp(prefix="nsvb_binbench_")
-    hparams["binary_data_dir"] = tmp
+    cfg["binary_data_dir"] = tmp
+    with hparams_scope(cfg):
+        return _bench_binarize_body(n_pairs, dur_s, tmp)
+
+
+def _bench_binarize_body(n_pairs: int, dur_s: float, tmp: str):
+    from neuralsvb_tpu.data.binarizer import PopBuTFyENBinarizer
+    from neuralsvb_tpu.ops.audio import save_wav
     rng = np.random.RandomState(0)
     t = np.arange(int(SR * dur_s)) / SR
     pairs = []
@@ -513,8 +524,6 @@ def bench_binarize(n_pairs: int = 3, dur_s: float = 5.0):
     wall = time.perf_counter() - t0
     staged = dict(_bz.STAGE_TIMES)
     staged["other"] = max(0.0, wall - sum(staged.values()))
-    hparams.clear()
-    hparams.update(saved)
     return {"audio_sec_per_sec_per_worker": round(audio / wall, 2),
             "breakdown_pct": {k: round(100 * v / wall, 1)
                               for k, v in sorted(staged.items())}}
@@ -544,6 +553,18 @@ def _probe_backend(timeout_s: float = 240.0):
     return None
 
 
+def _log(msg: str):
+    """Progress breadcrumb on stderr (stdout carries only the JSON line).
+    First-time runs pay minutes of XLA/Mosaic compile per section; these
+    stamps make a stalled or timed-out run diagnosable."""
+    import sys
+    print(f"| bench +{time.perf_counter() - _T0:7.1f}s {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def main():
     err = _probe_backend()
     if err is not None:
@@ -553,6 +574,7 @@ def main():
             "detail": {"error": err},
         }))
         return
+    _log("backend ok; vocoder f32")
     v = bench_vocoder_rtf()
     rtf_wall = v["wall_s"] / v["audio_sec"]
     rtf_dev = (v["device_s"] / v["audio_sec"]) if v["device_s"] else None
@@ -589,6 +611,7 @@ def main():
             f"{v['device_s'] * 1e3:.1f} ms; published the device lower bound")
 
     try:  # production serving precision (compute_dtype: bfloat16)
+        _log("vocoder bf16")
         vb = bench_vocoder_rtf(iters=6, dtype="bfloat16", rtt=v["rtt_s"])
         detail["vocoder_rtf_bf16"] = round(vb["wall_s"] / vb["audio_sec"], 6)
         if vb["device_s"]:
@@ -602,6 +625,7 @@ def main():
     for tag, kw in [("", dict(batch=1)),
                     ("_b8", dict(batch=8, iters=3))]:
         try:
+            _log(f"e2e svb batch={kw.get('batch')}")
             e = bench_e2e_svb(rtt=v["rtt_s"], **kw)
             detail[f"e2e_svb_utterances_per_sec{tag}"] = round(
                 e["batch"] / e["wall_s"], 2)
@@ -639,12 +663,16 @@ def main():
             detail[f"e2e_bench_error{tag}"] = f"{type(exc).__name__}: {exc}"[:200]
 
     try:
+        _log("train steps")
         detail.update(bench_train_step())
     except Exception as e:  # noqa: BLE001
         detail["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
-        detail["binarize_audio_sec_per_sec_per_worker"] = round(
-            bench_binarize(), 2)
+        _log("binarize")
+        bz = bench_binarize()
+        detail["binarize_audio_sec_per_sec_per_worker"] = \
+            bz["audio_sec_per_sec_per_worker"]
+        detail["binarize_breakdown_pct"] = bz["breakdown_pct"]
     except Exception as e:  # noqa: BLE001
         detail["binarize_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     detail["selfcheck"] = "; ".join(selfchecks) if selfchecks else "ok"
