@@ -50,14 +50,18 @@ _SPEC = {
 }
 
 
-def estimate_cache_mb(dataset) -> float:
+def estimate_cache_mb(dataset, with_ppg: bool = False,
+                      ppg_hidden: int = 256, ppg_stride: int = 2) -> float:
     """Pre-build size estimate from the dataset's size table (mel frame
     counts, upper bound max(T_a, T_p) per item): bytes/frame = 80*2 (mel)
-    + 2 (pitch) per side + 2 (alignment, prof side) + spk embeds."""
+    + 2 (pitch) per side + 2 (alignment, prof side) + spk embeds, plus the
+    optional frozen-ASR PPG rows (f16 [T/stride, H] per side)."""
     sizes = np.asarray(getattr(dataset, "sizes", []), np.int64)
     if sizes.size == 0:
         return 0.0
     per_frame = 2 * (80 * 2 + 2) + 2
+    if with_ppg:
+        per_frame += 2 * (ppg_hidden * 2) // ppg_stride
     spk = len(sizes) * 5 * 256 * 4
     return float(sizes.sum() * per_frame + spk) / 1e6
 
@@ -71,14 +75,26 @@ class DeviceFeatureCache:
 
     @classmethod
     def build(cls, dataset, sharding=None, budget_mb: float = 4096.0,
-              verbose: bool = True) -> Optional["DeviceFeatureCache"]:
+              verbose: bool = True, ppg_fn=None, ppg_stride: int = 2,
+              ) -> Optional["DeviceFeatureCache"]:
         """Iterate the dataset once (host), flatten, upload once.
 
         Returns None (caller falls back to wire streaming) when the
         estimated size exceeds ``budget_mb`` or items lack the SVB paired
         keys. ``sharding`` places the buffers (replicated on the mesh under
-        data parallelism)."""
-        est = estimate_cache_mb(dataset)
+        data parallelism).
+
+        ``ppg_fn`` (optional): batched frozen-ASR content extractor
+        ``[B, T, 80] f32 -> [B, ceil(T/ppg_stride), H]`` (padding rows must
+        come back exactly zero — the VCASR conformer masks them, see
+        tests/test_device_cache.py). When given, per-item PPG rows are
+        precomputed once here and cached alongside the features, so training
+        steps skip the (frozen, stop-gradient) ASR forward entirely — the
+        profiler's largest single per-step cost after the VAE itself
+        (scripts/profile_train.py --top-ops: the [B,4,T/2,T/2] rel-pos
+        attention chain)."""
+        est = estimate_cache_mb(dataset, with_ppg=ppg_fn is not None,
+                                ppg_stride=ppg_stride)
         if est > budget_mb:
             if verbose:
                 print(f"| device cache: estimated {est:.0f} MB exceeds "
@@ -132,6 +148,13 @@ class DeviceFeatureCache:
         }
         for name in _SPEC:
             host[name] = np.concatenate(parts[name], axis=0)
+        if ppg_fn is not None:
+            for side, mels, lens in (("a", parts["mels"], a_lens),
+                                     ("p", parts["prof_mels"], p_lens)):
+                flat, offs, plens = _build_ppg(ppg_fn, mels, lens, ppg_stride)
+                host[f"ppg_{side}"] = flat
+                host[f"ppg_{side}_offsets"] = offs
+                host[f"ppg_{side}_lengths"] = plens
         total_mb = sum(v.nbytes for v in host.values()) / 1e6
         if total_mb > budget_mb:
             if verbose:
@@ -153,6 +176,29 @@ class DeviceFeatureCache:
                   f"in HBM; batches assemble on-device from [B]-int32 "
                   f"indices")
         return cls(arrays, n)
+
+
+def _build_ppg(ppg_fn, mels, lens, stride: int, chunk: int = 8):
+    """Run the frozen-ASR extractor over per-item mels (f16 rows, the same
+    values the cached training step would decode) in fixed-shape chunks —
+    one padded shape for the whole build, so the remote backend compiles the
+    conformer ONCE. Returns (flat f16 [sum(ceil(L/stride)), H], offsets,
+    lengths)."""
+    n = len(mels)
+    T = int(np.asarray(lens).max())
+    T += (-T) % 64  # one static shape; exact-length PPG is pad-invariant
+    out, plens = [], np.asarray([-(-int(l) // stride) for l in lens],
+                                np.int32)
+    for c0 in range(0, n, chunk):
+        items = mels[c0:c0 + chunk]
+        buf = np.zeros((chunk, T, items[0].shape[-1]), np.float32)
+        for j, m in enumerate(items):
+            buf[j, : len(m)] = m.astype(np.float32)
+        ppg = np.asarray(ppg_fn(buf))
+        for j in range(len(items)):
+            out.append(ppg[j, : plens[c0 + j]].astype(np.float16))
+    offs = np.concatenate([[0], np.cumsum(plens)[:-1]]).astype(np.int32)
+    return np.concatenate(out, axis=0), offs, plens
 
 
 def _gather_side(flat, offs, lens, T: int):
@@ -179,7 +225,7 @@ def assemble_batch(cache: Dict[str, jax.Array], idxs, emb_idx,
     prof_mels, vp = _gather_side(cache["prof_mels"], p_off, p_len, T_p)
     prof_pitch, _ = _gather_side(cache["prof_pitch"], p_off, p_len, T_p)
     align, _ = _gather_side(cache["a2p_f0_alignment"], p_off, p_len, T_p)
-    return {
+    out = {
         "mels": mels.astype(jnp.float32) * va[..., None],
         "prof_mels": prof_mels.astype(jnp.float32) * vp[..., None],
         "pitch": jnp.where(va, pitch.astype(jnp.int32), 0),
@@ -187,3 +233,17 @@ def assemble_batch(cache: Dict[str, jax.Array], idxs, emb_idx,
         "a2p_f0_alignment": jnp.where(vp, align.astype(jnp.int32), 0),
         "spk_emb": cache["multi_spk_emb"][idxs, emb_idx],
     }
+    if "ppg_a" in cache:
+        # precomputed frozen-ASR content rows; padded rows 0 matches the
+        # in-graph VCASR (masked output, see _build_ppg)
+        from ..hparams import hparams
+        stride = 1
+        for s in hparams.get("mel_strides", (2, 1, 1)):
+            stride *= int(s)
+        for side, T in (("a", T_a), ("p", T_p)):
+            po = cache[f"ppg_{side}_offsets"][idxs]
+            pl = cache[f"ppg_{side}_lengths"][idxs]
+            ppg, vv = _gather_side(cache[f"ppg_{side}"], po, pl,
+                                   -(-T // stride))
+            out[f"ppg_{side}"] = ppg.astype(jnp.float32) * vv[..., None]
+    return out

@@ -106,26 +106,43 @@ class SVBVAE(nn.Module):
 
     # ------------------------------------------------------------------
     def prepare_condition(self, mel, pitch, spk_emb, train: bool = False,
-                          exact_lengths=None):
+                          exact_lengths=None, ppg=None):
         """reference: svb_vae.py:60-86. ``exact_lengths`` selects the
         frozen ASR's rel-pos semantics (see models/conformer.py): None
         defaults to ``not train`` — exact at inference, batched in
         training. Phase-3 training applies the model in eval mode on
         padded batches, where the reference still computes rel-pos at the
-        collate length, so the task passes exact_lengths=False there."""
+        collate length, so the task passes exact_lengths=False there.
+
+        ``ppg``: precomputed frozen-ASR content rows [B, ceil(T/stride), H]
+        (the device cache's ``cache_ppg`` path, data/device_cache.py) —
+        skips the per-step VCASR forward. Cached rows carry the
+        exact-length rel-pos semantics regardless of ``exact_lengths``
+        (documented deviation, see PARITY.md)."""
         if exact_lengths is None:
             exact_lengths = not train
         T = pitch.shape[1]
         tgt_nonpadding = (pitch > 0).astype(mel.dtype)[:, :, None]
         h_pitch = self.pitch_encoder(self.pitch_embed(pitch), train=train,
                                      x_mask=tgt_nonpadding)
-        ppg = jax.lax.stop_gradient(
-            self.vc_asr(mel, train=False,
-                        exact_lengths=exact_lengths)["h_content"])
+        if ppg is None:
+            ppg = self.vc_asr(mel, train=False,
+                              exact_lengths=exact_lengths)["h_content"]
+        ppg = jax.lax.stop_gradient(ppg)
         h_content = self.upsample_layer(ppg, train=train)[:, :T]
         h_style = jnp.repeat(self.spk_embed_proj(spk_emb)[:, None, :], T, axis=1)
         return dict(h_pitch=h_pitch, h_content=h_content, h_style=h_style,
                     tgt_nonpadding=tgt_nonpadding)
+
+    def extract_ppg(self, mel, exact_lengths: bool = True):
+        """Frozen-ASR content rows for one mel batch — the device cache's
+        one-time precompute entry point (``model.apply(vars, mel,
+        method=SVBVAE.extract_ppg)`` with only the ``vc_asr`` variable
+        subtree). Padded (zero) mel frames come back as exactly-zero rows
+        (the conformer masks its output), so flat per-item storage
+        round-trips losslessly."""
+        return self.vc_asr(mel, train=False,
+                           exact_lengths=exact_lengths)["h_content"]
 
     def _cond_sum(self, h_pitch, h_content, h_style, mask=None):
         cond = self.encoded_embed_proj(
@@ -164,16 +181,21 @@ class SVBVAE(nn.Module):
                  infer: bool = False, disable_map: bool = False,
                  train: bool = False, map_train: Optional[bool] = None,
                  tech_ids: Optional[Tuple[int, int]] = None,
-                 exact_lengths: Optional[bool] = None):
+                 exact_lengths: Optional[bool] = None,
+                 ppg_a=None, ppg_p=None):
         """Returns {way: outputs}. ``concurrent_ways`` must be static.
         ``spk_emb``: [B, 256] — the same (amateur) speaker embedding is used
-        for both sides, as in the reference task (svb_vae_task.py:146)."""
+        for both sides, as in the reference task (svb_vae_task.py:146).
+        ``ppg_a``/``ppg_p``: optional precomputed frozen-ASR content rows
+        per side (see ``prepare_condition``)."""
         ret: Dict[str, Dict[str, Any]] = {}
         amateur_conds = self.prepare_condition(amateur_mel, amateur_pitch, spk_emb,
                                                train=train,
-                                               exact_lengths=exact_lengths)
+                                               exact_lengths=exact_lengths,
+                                               ppg=ppg_a)
         prof_conds = self.prepare_condition(prof_mel, prof_pitch, spk_emb, train=train,
-                                            exact_lengths=exact_lengths)
+                                            exact_lengths=exact_lengths,
+                                            ppg=ppg_p)
 
         if tech_ids is None and self.variant in ("tech_mle", "seg_tech_mle"):
             # prior N(tech_id, 1): amateur=0, professional=1

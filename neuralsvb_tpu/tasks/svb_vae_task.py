@@ -499,6 +499,9 @@ class SVBVAETaskBase(BaseTask):
         if exact_lengths is not None:
             kwargs["exact_lengths"] = exact_lengths
         kwargs["disable_map"] = bool(hparams.get("disable_map", False))
+        for pk in ("ppg_a", "ppg_p"):  # cache_ppg precomputed content rows
+            if pk in batch:
+                kwargs[pk] = batch[pk]
         k_noise, k_drop = jax.random.split(rng)
         ret = self.model.apply(
             variables, batch["mels"], batch["prof_mels"], batch["pitch"],
@@ -720,11 +723,40 @@ class SVBVAETaskBase(BaseTask):
             try:
                 self._device_cache = DeviceFeatureCache.build(
                     self._train_ds, sharding=replicated(self.mesh),
-                    budget_mb=budget)
+                    budget_mb=budget, ppg_fn=self._make_ppg_fn(),
+                    ppg_stride=self._mel_stride())
             except Exception as e:  # noqa: BLE001 — cache is an optimization
                 print(f"| device cache build failed ({e}); streaming batches")
                 self._device_cache = None
         return self._device_cache
+
+    def _mel_stride(self) -> int:
+        s = 1
+        for v in hparams.get("mel_strides", (2, 1, 1)):
+            s *= int(v)
+        return s
+
+    def _make_ppg_fn(self):
+        """One-time frozen-ASR extractor for the device cache's ``cache_ppg``
+        path (gated off by default: cached rows use the exact-length rel-pos
+        semantics — inference semantics — where streamed training keeps the
+        reference's collate-length semantics; see PARITY.md). Passing the
+        variable subtree as an argument (not a closure) keeps the jit from
+        baking the weights in as constants."""
+        mode = hparams.get("cache_ppg", False)
+        if mode in (False, 0, None, "", "off", "false", "0"):
+            return None
+        var = {"params": {"vc_asr": self.state["params"]["vc_asr"]}}
+        stats = self.state.get("batch_stats") or {}
+        if "vc_asr" in stats:
+            var["batch_stats"] = {"vc_asr": stats["vc_asr"]}
+        model = self.model
+
+        @jax.jit
+        def _run(variables, mels):
+            return model.apply(variables, mels, method=type(model).extract_ppg)
+
+        return lambda mels: _run(var, jnp.asarray(mels))
 
     def _cache_meta(self, batch):
         return ("cache", int(batch["mels"].shape[1]),

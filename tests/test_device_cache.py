@@ -193,3 +193,87 @@ def test_cached_cycle_matches_wire_cycle():
         np.testing.assert_allclose(np.asarray(logs_w[k]),
                                    np.asarray(logs_c[k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_ppg_cache_assembly_matches_extractor():
+    """cache_ppg: assembled PPG rows == the frozen-ASR extractor applied to
+    the f16-decoded cached mels (valid rows, f16 storage rounding), and
+    padded rows are exactly zero — the property flat storage relies on."""
+    import jax.numpy as jnp
+    from neuralsvb_tpu.data.device_cache import assemble_batch
+    ds = FakeDataset()
+    task = _make_task({"device_data_cache": "on", "cache_ppg": True})
+    task._train_ds = ds
+    cache = task._maybe_device_cache({"id": np.arange(2)})
+    assert cache is not None and "ppg_a" in cache.arrays
+
+    idxs = [4, 1]
+    host = collate(ds, idxs)
+    T_a, T_p = host["mels"].shape[1], host["prof_mels"].shape[1]
+    got = jax.jit(assemble_batch, static_argnames=("T_a", "T_p"))(
+        cache.arrays, np.asarray(idxs, np.int32), np.int32(0),
+        T_a=T_a, T_p=T_p)
+    stride = task._mel_stride()
+    assert got["ppg_a"].shape[1] == -(-T_a // stride)
+
+    ppg_fn = task._make_ppg_fn()
+    for side, key, T in (("a", "mels", T_a), ("p", "prof_mels", T_p)):
+        mels_f16 = host[key].astype(np.float16).astype(np.float32)
+        want = np.asarray(ppg_fn(mels_f16))
+        for j, i in enumerate(idxs):
+            L = len(ds[i]["mel" if side == "a" else "prof_mel"])
+            lp = -(-L // stride)
+            # build pads to its own static length (multiple of 64); exact-
+            # length PPG is pad-invariant to float noise, then f16-rounded
+            # on store -> compare to one f16 ulp
+            np.testing.assert_allclose(
+                np.asarray(got[f"ppg_{side}"])[j, :lp],
+                want[j, :lp].astype(np.float16).astype(np.float32),
+                rtol=2e-3, atol=2e-3, err_msg=f"ppg_{side} item {i}")
+            # beyond the item's rows: exact zeros on both paths
+            assert np.all(np.asarray(got[f"ppg_{side}"])[j, lp:] == 0)
+            assert np.all(want[j, lp:] == 0)
+
+
+@pytest.mark.slow
+def test_cached_ppg_training_runs_and_matches_exact_semantics():
+    """With cache_ppg on: (1) the model applied with cached PPG equals the
+    in-graph forward under exact_lengths=True to f16-storage tolerance;
+    (2) gen/disc/map steps and the fused cycle run and produce finite
+    losses close to the streamed run (the documented deviation is the
+    rel-pos padding semantics of the frozen ASR only)."""
+    import jax.numpy as jnp
+    ds = FakeDataset()
+    task = _make_task({"device_data_cache": "on", "cache_ppg": True})
+    task._train_ds = ds
+    b, meta = task._prep_batch(collate(ds, [0, 1]))
+    from neuralsvb_tpu.tasks.svb_vae_task import wire_decode
+    batch = jax.jit(wire_decode, static_argnames=("meta",))(b, meta=meta)
+    assert "ppg_a" in batch and "ppg_p" in batch
+
+    rng = jax.random.PRNGKey(0)
+    kw = dict(ways=("a2a", "p2p", "a2p"), rng=rng, train=False,
+              map_train=False)
+    out_cached = task._apply_model(task.state["params"],
+                                   task.state["batch_stats"], dict(batch),
+                                   **kw)
+    b2 = {k: v for k, v in batch.items() if not k.startswith("ppg_")}
+    out_exact = task._apply_model(task.state["params"],
+                                  task.state["batch_stats"], b2,
+                                  exact_lengths=True, **kw)
+    for way in out_cached:
+        np.testing.assert_allclose(
+            np.asarray(out_cached[way]["mel_out"]),
+            np.asarray(out_exact[way]["mel_out"]), rtol=5e-3, atol=5e-3,
+            err_msg=f"{way} mel_out cached-PPG vs exact in-graph")
+
+    # steps + fused cycle compile and produce finite losses
+    batches = [collate(ds, [0, 1]), collate(ds, [2, 3])]
+    for opt in range(task.num_optimizers):
+        ret = task.training_step(batches[0], 5, opt)
+        if ret is not None:
+            assert all(np.isfinite(float(v)) for k, v in ret[1].items()), ret
+    logs = task.training_cycle(batches, 5)
+    assert all(np.isfinite(np.asarray(v)).all() for v in logs.values())
+    ret = task.training_step(batches[0], 200, 2)  # phase-3 map step
+    assert ret is None or all(np.isfinite(float(v)) for _, v in ret[1].items())
