@@ -20,6 +20,20 @@ Measurement methodology (rebuilt in round 3 — VERDICT r2 #1):
 - Self-check: wall >= device_busy must hold per metric; violations are
   reported in a ``selfcheck`` field and the violating wall number is
   replaced by the device-busy lower bound (never published as-is).
+
+Timeout-proofing (rebuilt in round 5 — VERDICT r4 #1: the round-4 driver
+run hit a cold compile bill and timed out with NOTHING parsed, because the
+JSON line only printed at the very end):
+- The COMPLETE result line is (re)printed after EVERY stage; the last
+  complete line wins, so a killed run still records everything that
+  finished.
+- A deadline budget (NSVB_BENCH_DEADLINE_S, default 1380 s — under the
+  driver's observed ~1800 s kill) gates each stage on a cold-cost estimate;
+  stages that don't fit are skipped and named in ``detail.skipped_stages``.
+- Per-stage elapsed seconds land in ``detail.stage_secs`` so a slow run is
+  diagnosable from the artifact alone.
+- Stage order puts the must-have rows first: headline fused vocoder, then
+  the fused-vs-unfused comparison, then the cached-train rows.
 """
 
 from __future__ import annotations
@@ -88,11 +102,15 @@ def _mfu(flops: float, device_s: float):
     return achieved, (achieved / peak if peak else None)
 
 
-def _vocoder_model_and_params():
+def _vocoder_model_and_params(fuse: str = "auto"):
     """Flagship HiFiGAN-NSF generator. When a converted real checkpoint is
     present (NSVB_BENCH_VOCODER_CKPT or the released-ckpt default path) the
     bench runs IT — so perf and parity are the same artifact (VERDICT r2
-    weak #6). Random init otherwise: identical FLOPs/timing either way."""
+    weak #6). Random init otherwise: identical FLOPs/timing either way.
+
+    ``fuse``: forwarded to HifiGanGenerator.fuse_resblocks — the bench
+    measures 'auto' (shipped default: Pallas cluster kernel on TPU) against
+    'off' (plain XLA convs) so the default is set from recorded data."""
     import jax
 
     from neuralsvb_tpu.models.hifigan import HifiGanGenerator
@@ -106,13 +124,15 @@ def _vocoder_model_and_params():
                 base, {"upsample_rates": (8, 8, 2),
                        "upsample_kernel_sizes": (16, 16, 4)})
             if params is not None:
-                return model, params, base
+                # force the requested fuse mode even if the ckpt's
+                # config.yaml pins its own (the bench A/Bs this knob)
+                return model.clone(fuse_resblocks=fuse), params, base
     except Exception:
         pass
     model = HifiGanGenerator(
         upsample_rates=(8, 8, 2), upsample_kernel_sizes=(16, 16, 4),
         upsample_initial_channel=512, use_pitch_embed=True,
-        audio_sample_rate=SR)
+        audio_sample_rate=SR, fuse_resblocks=fuse)
     params = model.init({"params": jax.random.PRNGKey(0),
                          "noise": jax.random.PRNGKey(1)},
                         np.zeros((1, 8, 80), np.float32),
@@ -121,17 +141,19 @@ def _vocoder_model_and_params():
 
 
 def bench_vocoder_rtf(n_frames: int = 2048, iters: int = 10, warmup: int = 2,
-                      dtype: str = "float32", rtt: float | None = None):
+                      dtype: str = "float32", rtt: float | None = None,
+                      fuse: str = "auto"):
     """``dtype='bfloat16'`` runs the generator body in bf16 (the production
     serving precision — the CLI's compute_dtype knob); params stay f32 in
-    HBM and are cast in-program."""
+    HBM and are cast in-program. ``fuse``: fuse_resblocks mode under test
+    ('auto' = Pallas cluster kernel on TPU, 'off' = plain XLA convs)."""
     import jax
     import jax.numpy as jnp
 
     from neuralsvb_tpu.utils.profiling import (compiled_cost,
                                                relay_rtt_seconds)
 
-    model, params, ckpt_used = _vocoder_model_and_params()
+    model, params, ckpt_used = _vocoder_model_and_params(fuse)
     rng = np.random.RandomState(0)
     mel = (rng.randn(1, n_frames, 80).astype(np.float32) - 2.0)
     f0 = np.full((1, n_frames), 220.0, np.float32)
@@ -177,23 +199,40 @@ def bench_vocoder_rtf(n_frames: int = 2048, iters: int = 10, warmup: int = 2,
     return m
 
 
-def bench_e2e_svb(n_frames: int = 1536, iters: int = 5, warmup: int = 2,
+def bench_e2e_svb(n_frames: int = 2048, iters: int = 5, warmup: int = 2,
                   batch: int = 1, rtt: float | None = None):
     """Full a2p path: MleSVBVAE forward (a2a+p2p+a2p) + HiFiGAN-NSF vocoding
     of the a2p mel (BASELINE.json config #4). ``batch`` utterances per call —
     bs=1 matches the reference's serving mode; bs>1 amortizes the per-dispatch
-    host overhead and is the production-throughput number."""
+    host overhead and is the production-throughput number.
+
+    n_frames defaults to the vocoder stage's 2048 ON PURPOSE: the fused
+    resblock kernels are batch- and dtype-independent (ops/fused_resblock.py),
+    so at equal frame counts the e2e stages embed the exact same Mosaic
+    modules the headline vocoder stage already compiled — a cold bench pays
+    the kernel bill once, not per stage (VERDICT r4 #1/#2)."""
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _batch, _flagship_hparams
-    from neuralsvb_tpu.hparams import hparams
+    from neuralsvb_tpu.hparams import hparams, hparams_scope
     from neuralsvb_tpu.models.svb_vae import SVBVAE
     from neuralsvb_tpu.utils.profiling import (compiled_cost,
                                                relay_rtt_seconds)
 
-    hp = _flagship_hparams()
-    hparams.update({k: v for k, v in hp.items() if k not in hparams})
+    with hparams_scope({**_flagship_hparams(), **hparams}):
+        return _bench_e2e_svb_body(n_frames, iters, warmup, batch, rtt)
+
+
+def _bench_e2e_svb_body(n_frames, iters, warmup, batch, rtt):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _batch
+    from neuralsvb_tpu.models.svb_vae import SVBVAE
+    from neuralsvb_tpu.utils.profiling import (compiled_cost,
+                                               relay_rtt_seconds)
+
     model = SVBVAE(dict_size=100, variant="mle")
     b = _batch(batch, n_frames, n_frames)
     rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
@@ -272,23 +311,35 @@ def _synth_cache_ds(n: int, T: int):
     return _DS()
 
 
-def bench_train_step(n_frames: int = 1536, batch: int = 12, iters: int = 5):
+def bench_train_step(n_frames: int = 1536, batch: int = 12, iters: int = 5,
+                     time_left=None):
     """NSVB adversarial training step time at flagship dims (BASELINE.md row
     'NSVB adversarial training step time'): per-step dispatch and the fused
     K-step lax.scan cycle, for phase 2 (gen+disc) and phase 3 (latent map).
     Completion is forced by fetching the final step's total loss — each step
     consumes the donated state of the previous one, so that scalar proves
-    the whole chain ran on device."""
-    import jax
+    the whole chain ran on device.
 
-    from __graft_entry__ import _batch, _flagship_hparams
-    from neuralsvb_tpu.hparams import hparams
-    from neuralsvb_tpu.utils.profiling import relay_rtt_seconds
+    ``time_left``: optional callable returning remaining budget seconds;
+    sections that don't fit their cold-cost estimate are skipped (named in
+    the returned ``train_skipped``) so a cold run still lands its earlier
+    rows instead of being killed mid-stage."""
+    from __graft_entry__ import _flagship_hparams
+    from neuralsvb_tpu.hparams import hparams_scope
 
     hp = _flagship_hparams()
     hp.update(mesh_shape="data:1", phase_2_steps=10 ** 6)
-    hparams.clear()
-    hparams.update(hp)
+    with hparams_scope(new=hp):
+        return _bench_train_body(n_frames, batch, iters,
+                                 time_left or (lambda: float("inf")))
+
+
+def _bench_train_body(n_frames, batch, iters, time_left):
+    import jax
+
+    from __graft_entry__ import _batch
+    from neuralsvb_tpu.utils.profiling import relay_rtt_seconds
+
     from neuralsvb_tpu.tasks.svb_vae_task import SVBVAEMleTask
     task = SVBVAEMleTask()
     task.build_model()
@@ -356,100 +407,117 @@ def bench_train_step(n_frames: int = 1536, batch: int = 12, iters: int = 5):
             except Exception:  # noqa: BLE001 — FLOPs are best-effort
                 pass
 
-    # fused K-step cycle (one lax.scan dispatch per K iterations) — the
-    # production dispatch mode (steps_per_dispatch hparam). Steady-state
-    # wall over several back-to-back windows; the final fetched loss leaf
-    # depends on the last window's donated state, forcing the chain.
+    out["train_rtt_ms"] = round(rtt * 1e3, 1)
+    skipped = []
+
+    def fits(section, est_s):
+        if time_left() >= est_s:
+            return True
+        skipped.append(f"{section} (est {est_s:.0f}s > "
+                       f"{time_left():.0f}s left)")
+        return False
+
     K = iters
     n_calls = 3
-    for name, step in [("phase2", 5), ("phase3", 10 ** 6 + 5)]:
-        batches = [b] * K
-        logs = task.training_cycle(batches, step)  # compile + first transfer
-        float(jax.device_get(next(iter(logs.values()))[-1]))
-        t0 = time.perf_counter()
-        for c in range(n_calls):
-            logs = task.training_cycle(batches, step + (c + 1) * K)
-        float(jax.device_get(next(iter(logs.values()))[-1]))
-        wall = max(time.perf_counter() - t0 - rtt, 1e-9) / (K * n_calls)
-        out[f"train_{name}_cycle_wall_ms"] = round(wall * 1e3, 1)
-
-    # pipelined cycle — the streaming Trainer pattern (one-window-deep
-    # prefetch: window N+1's prepare_cycle host pack + transfer runs on a
-    # thread while window N dispatches; training/trainer.py flush_window).
-    # Phase 3 included (VERDICT r3 weak #2: the map phase is the longest
-    # phase of a real 200k-step run and was benched unpipelined).
-    from concurrent.futures import ThreadPoolExecutor
-    batches = [b] * K
-    for name, step in [("phase2", 5), ("phase3", 10 ** 6 + 5)]:
-        logs = task.training_cycle(batches, step)  # re-warm
-        float(jax.device_get(next(iter(logs.values()))[-1]))
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(1) as pool:
-            fut = pool.submit(task.prepare_cycle, batches)
-            for c in range(n_calls):
-                prepared, fut = fut.result(), pool.submit(
-                    task.prepare_cycle, batches)
-                logs = task.training_cycle(batches, step + (c + 1) * K,
-                                           prepared=prepared)
-            fut.result()
-        float(jax.device_get(next(iter(logs.values()))[-1]))
-        wall = max(time.perf_counter() - t0 - rtt, 1e-9) / (K * n_calls)
-        out[f"train_{name}_cycle_pipelined_wall_ms"] = round(wall * 1e3, 1)
-    out["train_rtt_ms"] = round(rtt * 1e3, 1)
 
     # device-resident dataset cache (device_data_cache — the production
     # training mode): features live in HBM, the per-step wire payload is
     # [B] int32 indices, so wall collapses to device compute + dispatch/K.
-    # This is the VERDICT r3 #1 fix: wall <= 1.5x device.
+    # This is the VERDICT r3 #1 fix (wall <= 1.5x device) and the must-have
+    # row of BENCH_r05 (VERDICT r4 #1) — it runs FIRST among the optional
+    # sections so a cold, deadline-squeezed run still records it.
     from neuralsvb_tpu.hparams import hparams_scope
-    try:
-        with hparams_scope(device_data_cache="on"):
-            task_c = SVBVAEMleTask()
-            task_c.build_model()
-            task_c._train_ds = _synth_cache_ds(2 * batch, n_frames)
-            bc = dict(b)
-            bc["id"] = np.arange(batch).astype(np.int64)
-            t0 = time.perf_counter()
-            cache = task_c._maybe_device_cache(bc)
-            out["train_cache_upload_s"] = round(time.perf_counter() - t0, 2)
-            out["train_cache_mb"] = round(
-                sum(v.nbytes for v in cache.arrays.values()) / 1e6, 1)
-            batches_c = [bc] * K
-            for name, step in [("phase2", 5), ("phase3", 10 ** 6 + 5)]:
-                logs = task_c.training_cycle(batches_c, step)  # compile
-                float(jax.device_get(next(iter(logs.values()))[-1]))
+    if fits("train_cached_cycle", 240):
+        try:
+            with hparams_scope(device_data_cache="on"):
+                task_c = SVBVAEMleTask()
+                task_c.build_model()
+                task_c._train_ds = _synth_cache_ds(2 * batch, n_frames)
+                bc = dict(b)
+                bc["id"] = np.arange(batch).astype(np.int64)
                 t0 = time.perf_counter()
+                cache = task_c._maybe_device_cache(bc)
+                out["train_cache_upload_s"] = round(time.perf_counter() - t0, 2)
+                out["train_cache_mb"] = round(
+                    sum(v.nbytes for v in cache.arrays.values()) / 1e6, 1)
+                batches_c = [bc] * K
+                for name, step in [("phase2", 5), ("phase3", 10 ** 6 + 5)]:
+                    logs = task_c.training_cycle(batches_c, step)  # compile
+                    float(jax.device_get(next(iter(logs.values()))[-1]))
+                    t0 = time.perf_counter()
+                    for c in range(n_calls):
+                        logs = task_c.training_cycle(batches_c,
+                                                     step + (c + 1) * K)
+                    float(jax.device_get(next(iter(logs.values()))[-1]))
+                    wall = max(time.perf_counter() - t0 - rtt, 1e-9) / (K * n_calls)
+                    out[f"train_{name}_cached_cycle_wall_ms"] = round(wall * 1e3, 1)
+        except Exception as exc:  # noqa: BLE001 — cached rows are best-effort
+            out["train_cached_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # fused K-step cycle (one lax.scan dispatch per K iterations) — the
+    # production dispatch mode (steps_per_dispatch hparam). Steady-state
+    # wall over several back-to-back windows; the final fetched loss leaf
+    # depends on the last window's donated state, forcing the chain.
+    if fits("train_cycle", 180):
+        for name, step in [("phase2", 5), ("phase3", 10 ** 6 + 5)]:
+            batches = [b] * K
+            logs = task.training_cycle(batches, step)  # compile + 1st transfer
+            float(jax.device_get(next(iter(logs.values()))[-1]))
+            t0 = time.perf_counter()
+            for c in range(n_calls):
+                logs = task.training_cycle(batches, step + (c + 1) * K)
+            float(jax.device_get(next(iter(logs.values()))[-1]))
+            wall = max(time.perf_counter() - t0 - rtt, 1e-9) / (K * n_calls)
+            out[f"train_{name}_cycle_wall_ms"] = round(wall * 1e3, 1)
+
+        # pipelined cycle — the streaming Trainer pattern (one-window-deep
+        # prefetch: window N+1's prepare_cycle host pack + transfer runs on
+        # a thread while window N dispatches; training/trainer.py
+        # flush_window). Phase 3 included (VERDICT r3 weak #2: the map phase
+        # is the longest phase of a real 200k-step run).
+        from concurrent.futures import ThreadPoolExecutor
+        batches = [b] * K
+        for name, step in [("phase2", 5), ("phase3", 10 ** 6 + 5)]:
+            logs = task.training_cycle(batches, step)  # re-warm
+            float(jax.device_get(next(iter(logs.values()))[-1]))
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(1) as pool:
+                fut = pool.submit(task.prepare_cycle, batches)
                 for c in range(n_calls):
-                    logs = task_c.training_cycle(batches_c,
-                                                 step + (c + 1) * K)
-                float(jax.device_get(next(iter(logs.values()))[-1]))
-                wall = max(time.perf_counter() - t0 - rtt, 1e-9) / (K * n_calls)
-                out[f"train_{name}_cached_cycle_wall_ms"] = round(wall * 1e3, 1)
-    except Exception as exc:  # noqa: BLE001 — cached rows are best-effort
-        out["train_cached_error"] = f"{type(exc).__name__}: {exc}"[:200]
+                    prepared, fut = fut.result(), pool.submit(
+                        task.prepare_cycle, batches)
+                    logs = task.training_cycle(batches, step + (c + 1) * K,
+                                               prepared=prepared)
+                fut.result()
+            float(jax.device_get(next(iter(logs.values()))[-1]))
+            wall = max(time.perf_counter() - t0 - rtt, 1e-9) / (K * n_calls)
+            out[f"train_{name}_cycle_pipelined_wall_ms"] = round(wall * 1e3, 1)
 
     # bf16 training (compute_dtype: bfloat16 — params f32, model body bf16):
     # phase-2 step-time ratio vs the f32 run above, same methodology
-    try:
-        with hparams_scope(compute_dtype="bfloat16"):
-            task_b = SVBVAEMleTask()
-            task_b.build_model()
+    if fits("train_bf16", 200):
+        try:
+            with hparams_scope(compute_dtype="bfloat16"):
+                task_b = SVBVAEMleTask()
+                task_b.build_model()
 
-            def cycle_b(step):
-                total = None
-                for opt in range(task_b.num_optimizers):
-                    ret = task_b.training_step(b, step, opt)
-                    if ret is not None:
-                        total = ret[0]
-                return total
+                def cycle_b(step):
+                    total = None
+                    for opt in range(task_b.num_optimizers):
+                        ret = task_b.training_step(b, step, opt)
+                        if ret is not None:
+                            total = ret[0]
+                    return total
 
-            wall, dev = timed(cycle_b, 5, "train_phase2_bf16")
-            out["train_phase2_bf16_wall_ms"] = round(wall * 1e3, 1)
-            out["train_phase2_bf16_device_ms"] = (round(dev * 1e3, 1)
-                                                  if dev else None)
-    except Exception as exc:  # noqa: BLE001 — bf16 row is best-effort
-        out["train_bf16_error"] = f"{type(exc).__name__}: {exc}"[:200]
+                wall, dev = timed(cycle_b, 5, "train_phase2_bf16")
+                out["train_phase2_bf16_wall_ms"] = round(wall * 1e3, 1)
+                out["train_phase2_bf16_device_ms"] = (round(dev * 1e3, 1)
+                                                      if dev else None)
+        except Exception as exc:  # noqa: BLE001 — bf16 row is best-effort
+            out["train_bf16_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    if skipped:
+        out["train_skipped"] = "; ".join(skipped)
     if selfcheck:
         out["train_selfcheck"] = "; ".join(selfcheck)
     return out
@@ -554,7 +622,7 @@ def _probe_backend(timeout_s: float = 240.0):
 
 
 def _log(msg: str):
-    """Progress breadcrumb on stderr (stdout carries only the JSON line).
+    """Progress breadcrumb on stderr (stdout carries only JSON lines).
     First-time runs pay minutes of XLA/Mosaic compile per section; these
     stamps make a stalled or timed-out run diagnosable."""
     import sys
@@ -563,6 +631,16 @@ def _log(msg: str):
 
 
 _T0 = time.perf_counter()
+# Hard budget for the whole run. The driver kills bench at ~1800 s (observed
+# BENCH_r04 rc=124); 1380 leaves headroom for the final emit + interpreter
+# teardown. A cold Mosaic kernel compile through the remote relay costs
+# ~300 s (measured round 5), so a fully cold run CANNOT fit every stage —
+# the stage gating below spends the budget on the must-have rows first.
+_DEADLINE_S = float(os.environ.get("NSVB_BENCH_DEADLINE_S", "1380"))
+
+
+def _left() -> float:
+    return _DEADLINE_S - (time.perf_counter() - _T0)
 
 
 def main():
@@ -574,8 +652,12 @@ def main():
             "detail": {"error": err},
         }))
         return
-    _log("backend ok; vocoder f32")
+    _log(f"backend ok; vocoder f32 fused ({_left():.0f}s budget left)")
+    stage_secs = {}
+    skipped = []
+    _t = time.perf_counter()
     v = bench_vocoder_rtf()
+    stage_secs["vocoder_f32"] = round(time.perf_counter() - _t, 1)
     rtf_wall = v["wall_s"] / v["audio_sec"]
     rtf_dev = (v["device_s"] / v["audio_sec"]) if v["device_s"] else None
     voc_tflops, voc_mfu = _mfu(v["flops"], v["device_s"])
@@ -595,8 +677,10 @@ def main():
         "relay_rtt_ms": round(v["rtt_s"] * 1e3, 1),
     }
     # speed-of-light: execution-time lower bound from XLA's flop/byte counts
-    # vs this chip's MXU peak and HBM bandwidth (the honest ceiling for the
-    # bandwidth-bound vocoder tail, where raw MFU understates utilization)
+    # vs this chip's MXU peak and HBM bandwidth. NOTE: on the fused program
+    # XLA's cost model cannot see inside the Pallas custom calls, so these
+    # fused-program counts understate both flops and bytes; the unfused
+    # stage below records the full-semantics counts (roofline_unfused).
     from neuralsvb_tpu.utils.profiling import roofline
     lb, frac, bound = roofline(v["flops"], v.get("bytes", 0.0), v["device_s"])
     if frac:
@@ -610,73 +694,6 @@ def main():
             f"vocoder: raw wall {v['raw_wall_s'] * 1e3:.1f} ms < device "
             f"{v['device_s'] * 1e3:.1f} ms; published the device lower bound")
 
-    try:  # production serving precision (compute_dtype: bfloat16)
-        _log("vocoder bf16")
-        vb = bench_vocoder_rtf(iters=6, dtype="bfloat16", rtt=v["rtt_s"])
-        detail["vocoder_rtf_bf16"] = round(vb["wall_s"] / vb["audio_sec"], 6)
-        if vb["device_s"]:
-            detail["vocoder_rtf_bf16_device"] = round(
-                vb["device_s"] / vb["audio_sec"], 6)
-        if not vb["selfcheck_ok"]:
-            selfchecks.append("vocoder_bf16: wall below device busy")
-    except Exception as exc:  # noqa: BLE001
-        detail["vocoder_bf16_error"] = f"{type(exc).__name__}: {exc}"[:200]
-
-    for tag, kw in [("", dict(batch=1)),
-                    ("_b8", dict(batch=8, iters=3))]:
-        try:
-            _log(f"e2e svb batch={kw.get('batch')}")
-            e = bench_e2e_svb(rtt=v["rtt_s"], **kw)
-            detail[f"e2e_svb_utterances_per_sec{tag}"] = round(
-                e["batch"] / e["wall_s"], 2)
-            detail[f"e2e_svb_rtf{tag}"] = round(
-                e["wall_s"] / (e["audio_sec"] * e["batch"]), 6)
-            if e["device_s"]:
-                detail[f"e2e_svb_rtf_device{tag}"] = round(
-                    e["device_s"] / (e["audio_sec"] * e["batch"]), 6)
-            if not tag:
-                tf, mfu = _mfu(e["flops"], e["device_s"])
-                detail["e2e_achieved_tflops"] = round(tf / 1e12, 2) if tf else None
-                detail["e2e_mfu_vs_bf16_peak"] = round(mfu, 4) if mfu else None
-                detail["e2e_utt_audio_sec"] = round(e["audio_sec"], 2)
-                lb, frac, bound = roofline(e["flops"], e.get("bytes", 0.0),
-                                           e["device_s"])
-                if frac:
-                    detail["e2e_roofline_frac"] = round(frac, 3)
-                    detail["e2e_roofline_bound"] = bound
-            if tag == "_b8":
-                # multi-chip serving projection: shard_infer distributes
-                # bs=8 batches over the data mesh with replicated params and
-                # NO inference-time collectives (tests/test_shard_infer.py
-                # proves N-device == 1-device outputs), so 8 chips serve 8
-                # independent streams — linear in chips by construction.
-                # Honest caveat: assumes per-chip host dispatch does not
-                # saturate (one process drives all chips).
-                detail["e2e_svb_utterances_per_sec_8chip_projected"] = round(
-                    8 * e["batch"] / e["wall_s"], 1)
-            if not e["selfcheck_ok"]:
-                selfchecks.append(
-                    f"e2e{tag}: raw wall {e['raw_wall_s'] * 1e3:.1f} ms < "
-                    f"device {e['device_s'] * 1e3:.1f} ms; published the "
-                    f"device lower bound")
-        except Exception as exc:  # noqa: BLE001 — never lose the headline
-            detail[f"e2e_bench_error{tag}"] = f"{type(exc).__name__}: {exc}"[:200]
-
-    try:
-        _log("train steps")
-        detail.update(bench_train_step())
-    except Exception as e:  # noqa: BLE001
-        detail["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
-    try:
-        _log("binarize")
-        bz = bench_binarize()
-        detail["binarize_audio_sec_per_sec_per_worker"] = \
-            bz["audio_sec_per_sec_per_worker"]
-        detail["binarize_breakdown_pct"] = bz["breakdown_pct"]
-    except Exception as e:  # noqa: BLE001
-        detail["binarize_bench_error"] = f"{type(e).__name__}: {e}"[:200]
-    detail["selfcheck"] = "; ".join(selfchecks) if selfchecks else "ok"
-    detail["device"] = str(__import__("jax").devices()[0])
     result = {
         "metric": "hifigan_nsf_vocoder_rtf_per_chip",
         "value": round(rtf_wall, 6),
@@ -684,7 +701,159 @@ def main():
         "vs_baseline": round(TARGET_RTF / rtf_wall, 3),
         "detail": detail,
     }
-    print(json.dumps(result))
+
+    def emit():
+        """(Re)print the complete result line — the last line wins, so a
+        killed run keeps every stage that finished (VERDICT r4 #1)."""
+        detail["selfcheck"] = "; ".join(selfchecks) if selfchecks else "ok"
+        detail["stage_secs"] = stage_secs
+        if skipped:
+            detail["skipped_stages"] = "; ".join(skipped)
+        detail["deadline_s"] = _DEADLINE_S
+        detail["device"] = str(__import__("jax").devices()[0])
+        print(json.dumps(result), flush=True)
+
+    emit()  # headline is safe from this point on
+
+    def stage(name, est_s, fn):
+        """Run one optional stage under the deadline budget and re-emit."""
+        if _left() < est_s:
+            skipped.append(f"{name} (est {est_s:.0f}s > {_left():.0f}s left)")
+            emit()
+            return
+        _log(f"{name} (est {est_s:.0f}s, {_left():.0f}s left)")
+        t0 = time.perf_counter()
+        try:
+            fn()
+        except Exception as exc:  # noqa: BLE001 — never lose earlier stages
+            detail[f"{name}_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        stage_secs[name] = round(time.perf_counter() - t0, 1)
+        emit()
+
+    def run_voc_unfused():
+        """fuse_resblocks off — same shapes, plain XLA convs. This is the
+        fused-vs-unfused A/B the fused default is justified by (VERDICT r4
+        #2), and its cost analysis carries the FULL conv semantics, so its
+        roofline is the honest bandwidth bound for the op (r4 #3)."""
+        vu = bench_vocoder_rtf(iters=6, fuse="off", rtt=v["rtt_s"])
+        detail["vocoder_rtf_unfused"] = round(vu["wall_s"] / vu["audio_sec"], 6)
+        if vu["device_s"]:
+            detail["vocoder_rtf_unfused_device"] = round(
+                vu["device_s"] / vu["audio_sec"], 6)
+            detail["vocoder_unfused_device_ms_per_call"] = round(
+                vu["device_s"] * 1e3, 1)
+            if v["device_s"]:
+                detail["vocoder_fused_speedup_device"] = round(
+                    vu["device_s"] / v["device_s"], 3)
+        lb, frac, bound = roofline(vu["flops"], vu.get("bytes", 0.0),
+                                   vu["device_s"])
+        if lb:
+            detail["vocoder_roofline_unfused_ms"] = round(lb * 1e3, 1)
+            detail["vocoder_roofline_unfused_bound"] = bound
+            # the fused program vs the UNFUSED program's bandwidth bound:
+            # >1 means the kernel beat XLA's lowering's own speed of light
+            if v["device_s"]:
+                detail["vocoder_frac_of_unfused_roofline"] = round(
+                    lb / v["device_s"], 3)
+        if vu["flops"] and v["device_s"]:
+            # semantic throughput of the fused path: the op's FULL conv
+            # FLOPs (XLA's count on the unfused program — it cannot see
+            # inside Pallas custom calls) over the fused device time
+            tf = vu["flops"] / v["device_s"]
+            detail["vocoder_semantic_tflops"] = round(tf / 1e12, 2)
+            from neuralsvb_tpu.utils.profiling import peak_flops_for_device
+            peak = peak_flops_for_device()
+            if peak:
+                detail["vocoder_semantic_mfu_vs_bf16_peak"] = round(
+                    tf / peak, 4)
+        if not vu["selfcheck_ok"]:
+            selfchecks.append("vocoder_unfused: wall below device busy")
+
+    def run_train():
+        # reserve 130 s so the binarize stage after this always fits
+        detail.update(bench_train_step(
+            time_left=lambda: _left() - 130.0))
+
+    def run_binarize():
+        bz = bench_binarize()
+        detail["binarize_audio_sec_per_sec_per_worker"] = \
+            bz["audio_sec_per_sec_per_worker"]
+        detail["binarize_breakdown_pct"] = bz["breakdown_pct"]
+
+    def run_e2e(tag, **kw):
+        e = bench_e2e_svb(rtt=v["rtt_s"], **kw)
+        detail[f"e2e_svb_utterances_per_sec{tag}"] = round(
+            e["batch"] / e["wall_s"], 2)
+        detail[f"e2e_svb_rtf{tag}"] = round(
+            e["wall_s"] / (e["audio_sec"] * e["batch"]), 6)
+        if e["device_s"]:
+            detail[f"e2e_svb_rtf_device{tag}"] = round(
+                e["device_s"] / (e["audio_sec"] * e["batch"]), 6)
+        if not tag:
+            tf, mfu = _mfu(e["flops"], e["device_s"])
+            detail["e2e_achieved_tflops"] = round(tf / 1e12, 2) if tf else None
+            detail["e2e_mfu_vs_bf16_peak"] = round(mfu, 4) if mfu else None
+            detail["e2e_utt_audio_sec"] = round(e["audio_sec"], 2)
+            lb, frac, bound = roofline(e["flops"], e.get("bytes", 0.0),
+                                       e["device_s"])
+            if frac:
+                detail["e2e_roofline_frac"] = round(frac, 3)
+                detail["e2e_roofline_bound"] = bound
+        if tag == "_b8":
+            # multi-chip serving projection: shard_infer distributes bs=8
+            # batches over the data mesh with replicated params and NO
+            # inference-time collectives (tests/test_shard_infer.py proves
+            # N-device == 1-device outputs; the dryrun executes the same
+            # path on a virtual 8-device mesh), so 8 chips serve 8
+            # independent streams — linear in chips by construction.
+            # Honest caveat: assumes per-chip host dispatch does not
+            # saturate (one process drives all chips).
+            detail["e2e_svb_utterances_per_sec_8chip_projected"] = round(
+                8 * e["batch"] / e["wall_s"], 1)
+        if not e["selfcheck_ok"]:
+            selfchecks.append(
+                f"e2e{tag}: raw wall {e['raw_wall_s'] * 1e3:.1f} ms < "
+                f"device {e['device_s'] * 1e3:.1f} ms; published the "
+                f"device lower bound")
+
+    def run_voc_bf16():
+        # production serving precision (compute_dtype: bfloat16). The fused
+        # kernels are dtype-independent, so this recompiles only the XLA
+        # program around them.
+        vb = bench_vocoder_rtf(iters=6, dtype="bfloat16", rtt=v["rtt_s"])
+        detail["vocoder_rtf_bf16"] = round(vb["wall_s"] / vb["audio_sec"], 6)
+        if vb["device_s"]:
+            detail["vocoder_rtf_bf16_device"] = round(
+                vb["device_s"] / vb["audio_sec"], 6)
+        if not vb["selfcheck_ok"]:
+            selfchecks.append("vocoder_bf16: wall below device busy")
+
+    def run_voc_1024():
+        # second bucket length (1024 frames), fused vs unfused — proves the
+        # fused win is not an artifact of the 2048 bench shape (r4 #2)
+        vf = bench_vocoder_rtf(n_frames=1024, iters=6, rtt=v["rtt_s"])
+        detail["vocoder_rtf_device_1024"] = (
+            round(vf["device_s"] / vf["audio_sec"], 6)
+            if vf["device_s"] else None)
+        vu = bench_vocoder_rtf(n_frames=1024, iters=6, fuse="off",
+                               rtt=v["rtt_s"])
+        if vf["device_s"] and vu["device_s"]:
+            detail["vocoder_rtf_unfused_device_1024"] = round(
+                vu["device_s"] / vu["audio_sec"], 6)
+            detail["vocoder_fused_speedup_device_1024"] = round(
+                vu["device_s"] / vf["device_s"], 3)
+
+    # Stage order = value under a cold-compile squeeze: the fused/unfused
+    # A/B and the cached-train rows are the round-5 must-haves, then the
+    # cheap CPU binarize row, then serving throughput, then extras.
+    stage("vocoder_unfused", 190, run_voc_unfused)
+    stage("train", 430, run_train)
+    stage("binarize", 120, run_binarize)
+    stage("e2e_b1", 280, lambda: run_e2e("", batch=1))
+    stage("e2e_b8", 200, lambda: run_e2e("_b8", batch=8, iters=3))
+    stage("vocoder_bf16", 150, run_voc_bf16)
+    stage("vocoder_1024", 700, run_voc_1024)
+    _log("done")
 
 
 if __name__ == "__main__":

@@ -23,12 +23,27 @@ This kernel computes the WHOLE cluster from a single HBM read of x:
   input at the sequence boundary, so the kernel masks each conv input to the
   valid [0, T) range (halo tiles see zeros exactly where nn.Conv would).
 
-Tiling: grid (B, T/Tt). Each tile manually DMAs x[C, i*Tt : i*Tt + Tt + 2H]
-from HBM (the array is pre-padded by H on both sides, so offsets are always
-in range). H bounds the receptive-field creep of one tower: for k=11,
-d=(1,3,5): sum((k-1)/2*d + (k-1)/2) = 60 <= H=64. Lane rolls wrap, but the
-wrap garbage also creeps <= 60 lanes inward from the window edge, so the
-central Tt lanes written back are exact.
+Tiling: grid (T/Tt,), one pallas_call per batch item (lax.map). Each tile
+manually DMAs x[C, i*Tt : i*Tt + Tt + 2H] from HBM (the array is pre-padded
+by H on both sides, so offsets are always in range). H bounds the
+receptive-field creep of one tower: for k=11, d=(1,3,5):
+sum((k-1)/2*d + (k-1)/2) = 60 <= H=64. Lane rolls wrap, but the wrap garbage
+also creeps <= 60 lanes inward from the window edge, so the central Tt lanes
+written back are exact.
+
+Compile-variant discipline (VERDICT r4 #2): a Mosaic kernel compile through
+this environment's remote relay costs minutes, so the kernel module must not
+vary with anything that changes per call site:
+- the true length T enters as a runtime SMEM scalar (masking reads it), so
+  the module depends only on the PADDED tile count, not on T itself;
+- the batch dim is folded out via lax.map over per-item [C, Tp+2H] slabs, so
+  B=1 serving and B=8 batched serving embed byte-identical kernel modules;
+- the wrapper casts x to f32 before the kernel boundary, so a bf16 vocoder
+  run embeds the same module as the f32 run (weights are packed in mm_dtype
+  either way).
+The remaining variant key is (C, spec, Tt, n_tiles) — for the flagship
+3-stage vocoder that is 3 kernels per bucket length, shared across batch
+sizes and compute dtypes.
 """
 
 from __future__ import annotations
@@ -58,21 +73,23 @@ def _leaky(x):
     return jnp.where(x >= 0, x, LRELU_SLOPE * x)
 
 
-def _cluster_kernel(x_hbm, *refs, spec: ClusterSpec, Tt: int, H: int,
-                    T_true: int, mm_dtype):
+def _cluster_kernel(t_ref, x_hbm, *refs, spec: ClusterSpec, Tt: int, H: int,
+                    mm_dtype):
     """refs = [wa_0, ba_0, wb_0, bb_0, wa_1, ..., out_ref, x_vmem, sem].
 
+    t_ref: SMEM (1,) int32 — the true (unpadded) sequence length. A runtime
+           operand, NOT a closure constant: baking T into the module would
+           re-lower a Mosaic kernel per input length (see module docstring).
     wa_r: [n_dil, C, k*C]  conv1 (dilated) weights, already transposed so
           row c_out contracts over (tap-major, c_in-minor) stacking.
     ba_r: [n_dil, C] bias. wb_r/bb_r: same for conv2 (dilation 1).
     """
     n_rb = len(spec)
     w_refs, out_ref, x_vmem, sem = refs[:4 * n_rb], refs[-3], refs[-2], refs[-1]
-    b = pl.program_id(0)
-    i = pl.program_id(1)
+    i = pl.program_id(0)
     W = Tt + 2 * H
 
-    dma = pltpu.make_async_copy(x_hbm.at[b, :, pl.ds(i * Tt, W)], x_vmem, sem)
+    dma = pltpu.make_async_copy(x_hbm.at[:, pl.ds(i * Tt, W)], x_vmem, sem)
     dma.start()
     dma.wait()
     x = x_vmem[:]  # [C, W] f32
@@ -80,7 +97,7 @@ def _cluster_kernel(x_hbm, *refs, spec: ClusterSpec, Tt: int, H: int,
     # Global time index of every lane in this window (data starts at pad H,
     # so window lane 0 is global position i*Tt - H).
     pos = i * Tt - H + jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    valid = jnp.logical_and(pos >= 0, pos < T_true)
+    valid = jnp.logical_and(pos >= 0, pos < t_ref[0])
 
     def conv_in(h):
         """Mask to the valid range (exact nn.Conv zero-pad semantics)."""
@@ -114,7 +131,7 @@ def _cluster_kernel(x_hbm, *refs, spec: ClusterSpec, Tt: int, H: int,
                 preferred_element_type=jnp.float32) + bb[di][:, None]
             cur = cur + z
         acc = cur if acc is None else acc + cur
-    out_ref[0] = (acc * (1.0 / n_rb))[:, H:H + Tt]
+    out_ref[:] = (acc * (1.0 / n_rb))[:, H:H + Tt]
 
 
 def _pack_tower(p: dict, k: int, dils: Sequence[int], conv1: str, conv2: str,
@@ -152,9 +169,13 @@ def fused_resblock_cluster_nct(x, weights, *, spec: ClusterSpec,
     Tp = nt * Tt
     xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (H, Tp - T + H)))
     W = Tt + 2 * H
+    # Runtime operand: keeps T out of the Mosaic module (same module serves
+    # every T with the same padded tile count).
+    t_true = jnp.full((1,), T, jnp.int32)
 
     n_rb = len(spec)
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY)]
     for _ in range(n_rb):
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
     # Scoped-VMEM budget: the default 16 MB limit rejects the C=256 stage
@@ -168,19 +189,24 @@ def fused_resblock_cluster_nct(x, weights, *, spec: ClusterSpec,
     stack_bytes = kmax * C * W * jnp.dtype(mm_dtype).itemsize
     budget = 2 * (w_bytes + 6 * tile_bytes + 2 * stack_bytes) + 2 ** 20
     vmem_limit = int(min(max(budget, 32 * 2 ** 20), 120 * 2 ** 20))
-    out = pl.pallas_call(
-        functools.partial(_cluster_kernel, spec=spec, Tt=Tt, H=H, T_true=T,
+    call = pl.pallas_call(
+        functools.partial(_cluster_kernel, spec=spec, Tt=Tt, H=H,
                           mm_dtype=mm_dtype),
-        grid=(B, nt),
+        grid=(nt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, C, Tt), lambda b, i: (b, 0, i),
+        out_specs=pl.BlockSpec((C, Tt), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, C, Tp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C, Tp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((C, W), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(xp, *weights)
+    )
+    # lax.map (not a batch grid dim, not vmap): the kernel module stays
+    # batch-shape-independent, so B=1 and B=8 callers share one compile. The
+    # grid was sequential over B anyway on a single-core chip, so this costs
+    # only ~µs of per-item dispatch.
+    out = jax.lax.map(lambda xi: call(t_true, xi, *weights), xp)
     return out[:, :, :T]
 
 
@@ -201,7 +227,9 @@ def _make_fused(spec: ClusterSpec, Tt: int, H: int, mm_name: str,
         T = x_nwc.shape[1]
         # Small inputs (validation snippets): one tile, lane-aligned.
         Tt_eff = min(Tt, max(128, -(-T // 128) * 128))
-        x = jnp.transpose(x_nwc, (0, 2, 1))
+        # f32 at the kernel boundary: a bf16 caller then embeds the exact
+        # same Mosaic module (and hits the same eager-jit entry) as f32.
+        x = jnp.transpose(x_nwc, (0, 2, 1)).astype(jnp.float32)
         y = fused_resblock_cluster_nct(x, weights, spec=spec, Tt=Tt_eff, H=H,
                                        mm_dtype=mm_dtype, interpret=interpret)
         return jnp.transpose(y, (0, 2, 1)).astype(x_nwc.dtype)

@@ -58,6 +58,7 @@ def load_hifigan(base_dir: str, hp: dict):
         use_pitch_embed=config.get("use_pitch_embed", True),
         audio_sample_rate=config.get("audio_sample_rate", 22050),
         num_mels=config.get("audio_num_mel_bins", 80),
+        fuse_resblocks=str(config.get("fuse_resblocks", "auto")),
     )
     params = None
     native = os.path.join(base_dir, "params.msgpack")

@@ -98,19 +98,13 @@ def main():
     for (mult, C) in ((8, 256), (64, 128), (128, 64)):
         stage_cluster_bench(n_frames * mult, C, n_frames, rtt)
 
-    # end-to-end generator: toggle the fuse knob by patching the model
-    # builder bench uses (same params/flops either way)
-    orig = bench._vocoder_model_and_params
+    # end-to-end generator: bench's native fuse knob (same params/flops
+    # either way)
     for fuse in ("off", "on"):
-        def patched(fuse=fuse, orig=orig):
-            model, params, ckpt = orig()
-            model = model.clone(fuse_resblocks=fuse)
-            return model, params, ckpt
-        bench._vocoder_model_and_params = patched
         for dtype in ("float32", "bfloat16"):
             try:
                 m = bench.bench_vocoder_rtf(n_frames=n_frames, iters=6,
-                                            dtype=dtype, rtt=rtt)
+                                            dtype=dtype, rtt=rtt, fuse=fuse)
                 print(json.dumps(
                     {"kind": f"generator_fuse_{fuse}_{dtype}",
                      "wall_ms": round(m["wall_s"] * 1e3, 2),
@@ -121,7 +115,6 @@ def main():
                 print(json.dumps({"kind": f"generator_fuse_{fuse}_{dtype}",
                                   "error": f"{type(e).__name__}: {e}"[:160]}),
                       flush=True)
-    bench._vocoder_model_and_params = orig
 
 
 if __name__ == "__main__":
