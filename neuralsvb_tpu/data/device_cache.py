@@ -67,16 +67,23 @@ def estimate_cache_mb(dataset, with_ppg: bool = False,
 
 
 class DeviceFeatureCache:
-    """Immutable device-resident feature store for one dataset split."""
+    """Immutable device-resident feature store for one dataset split.
 
-    def __init__(self, arrays: Dict[str, jax.Array], n_items: int):
+    ``ppg_stride`` records the stride the PPG rows were BUILT with; batch
+    assembly must use it (not ambient hparams re-read at trace time, which
+    may have changed under an ``hparams_scope`` or a second in-process task
+    by then)."""
+
+    def __init__(self, arrays: Dict[str, jax.Array], n_items: int,
+                 ppg_stride: int = 2):
         self.arrays = arrays
         self.n_items = n_items
+        self.ppg_stride = ppg_stride
 
     @classmethod
     def build(cls, dataset, sharding=None, budget_mb: float = 4096.0,
               verbose: bool = True, ppg_fn=None, ppg_stride: int = 2,
-              ) -> Optional["DeviceFeatureCache"]:
+              ppg_hidden: int = 256) -> Optional["DeviceFeatureCache"]:
         """Iterate the dataset once (host), flatten, upload once.
 
         Returns None (caller falls back to wire streaming) when the
@@ -94,7 +101,7 @@ class DeviceFeatureCache:
         (scripts/profile_train.py --top-ops: the [B,4,T/2,T/2] rel-pos
         attention chain)."""
         est = estimate_cache_mb(dataset, with_ppg=ppg_fn is not None,
-                                ppg_stride=ppg_stride)
+                                ppg_hidden=ppg_hidden, ppg_stride=ppg_stride)
         if est > budget_mb:
             if verbose:
                 print(f"| device cache: estimated {est:.0f} MB exceeds "
@@ -175,7 +182,7 @@ class DeviceFeatureCache:
             print(f"| device cache: {n} items, {total_mb:.1f} MB resident "
                   f"in HBM; batches assemble on-device from [B]-int32 "
                   f"indices")
-        return cls(arrays, n)
+        return cls(arrays, n, ppg_stride=ppg_stride)
 
 
 def _build_ppg(ppg_fn, mels, lens, stride: int, chunk: int = 8):
@@ -210,10 +217,15 @@ def _gather_side(flat, offs, lens, T: int):
 
 
 def assemble_batch(cache: Dict[str, jax.Array], idxs, emb_idx,
-                   T_a: int, T_p: int) -> Dict[str, jax.Array]:
+                   T_a: int, T_p: int,
+                   ppg_stride: Optional[int] = None) -> Dict[str, jax.Array]:
     """Traced on-device equivalent of the host collate + wire decode:
     returns the training batch dict (f32 mels, i32 indices, f32 spk_emb)
-    for items ``idxs`` padded to static (T_a, T_p)."""
+    for items ``idxs`` padded to static (T_a, T_p).
+
+    ``ppg_stride`` must be the stride the cache's PPG rows were built with
+    (DeviceFeatureCache.ppg_stride, threaded through the step meta); the
+    ambient-hparams fallback exists only for direct callers."""
     idxs = idxs.astype(jnp.int32)
     a_off = cache["a_offsets"][idxs]
     a_len = cache["a_lengths"][idxs]
@@ -236,10 +248,12 @@ def assemble_batch(cache: Dict[str, jax.Array], idxs, emb_idx,
     if "ppg_a" in cache:
         # precomputed frozen-ASR content rows; padded rows 0 matches the
         # in-graph VCASR (masked output, see _build_ppg)
-        from ..hparams import hparams
-        stride = 1
-        for s in hparams.get("mel_strides", (2, 1, 1)):
-            stride *= int(s)
+        stride = ppg_stride
+        if stride is None:  # direct-caller fallback (tests)
+            from ..hparams import hparams
+            stride = 1
+            for s in hparams.get("mel_strides", (2, 1, 1)):
+                stride *= int(s)
         for side, T in (("a", T_a), ("p", T_p)):
             po = cache[f"ppg_{side}_offsets"][idxs]
             pl = cache[f"ppg_{side}_lengths"][idxs]

@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import ast
 import contextlib
+import copy
 import os
 import shutil
 from typing import Any, Dict, Optional
@@ -54,7 +55,11 @@ def hparams_scope(new: Optional[Dict[str, Any]] = None, **overrides):
             task = SVBVAEMleTask(); task.build_model()
         # global hparams bitwise-restored here, even on raise
     """
-    saved = dict(hparams)
+    # deep copy: config values include nested dicts (e.g.
+    # map_scheduler_params) whose in-scope mutation must not survive exit —
+    # a shallow snapshot would restore the same mutated object. Config is
+    # small yaml-shaped data; the copy is microseconds.
+    saved = copy.deepcopy(hparams)
     try:
         if new is not None:
             hparams.clear()

@@ -215,7 +215,8 @@ def wire_decode(b, meta=None):
     if meta is not None and meta[0] == "cache":
         from ..data.device_cache import assemble_batch
         return assemble_batch(b["cache"], b["idxs"], b["emb_idx"],
-                              meta[1], meta[2])
+                              meta[1], meta[2],
+                              ppg_stride=meta[3] if len(meta) > 3 else None)
     if meta is not None:
         return wire_unpack(b, meta)
     out = dict(b)
@@ -440,6 +441,14 @@ class SVBVAETaskBase(BaseTask):
 
     def set_state(self, state):
         self.state = replicate_state(state, self.mesh)
+        # A restore can change the frozen-ASR params the cached PPG rows
+        # were computed from (e.g. a warm start with a different
+        # pretrain_asr_ckpt); drop the cache so the next train batch
+        # rebuilds it from the restored state. One re-upload per restore is
+        # noise next to training; stale PPG rows are a silent numerics bug.
+        if self._device_cache not in (None, "unset") \
+                and "ppg_a" in self._device_cache.arrays:
+            self._device_cache = "unset"
 
     # ------------------------------------------------------------------
     # phases (reference: svb_vae_task.py:587-595)
@@ -724,7 +733,8 @@ class SVBVAETaskBase(BaseTask):
                 self._device_cache = DeviceFeatureCache.build(
                     self._train_ds, sharding=replicated(self.mesh),
                     budget_mb=budget, ppg_fn=self._make_ppg_fn(),
-                    ppg_stride=self._mel_stride())
+                    ppg_stride=self._mel_stride(),
+                    ppg_hidden=int(hparams.get("hidden_size", 256)))
             except Exception as e:  # noqa: BLE001 — cache is an optimization
                 print(f"| device cache build failed ({e}); streaming batches")
                 self._device_cache = None
@@ -759,8 +769,11 @@ class SVBVAETaskBase(BaseTask):
         return lambda mels: _run(var, jnp.asarray(mels))
 
     def _cache_meta(self, batch):
+        cache = self._device_cache
+        stride = getattr(cache, "ppg_stride", None) \
+            if cache not in (None, "unset") else None
         return ("cache", int(batch["mels"].shape[1]),
-                int(batch["prof_mels"].shape[1]))
+                int(batch["prof_mels"].shape[1]), stride)
 
     def _prep_batch(self, batch, infer: bool = False):
         """Host prep + shard onto the mesh (training only; eval batches may

@@ -34,3 +34,20 @@ def pytest_sessionstart(session):
 @pytest.fixture(scope="session")
 def rng_key():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_hparams():
+    """Snapshot/restore the global hparams dict around EVERY test — the
+    remaining bare ``hparams.clear()/update()`` sites in older test modules
+    then cannot leak config into later tests even when a body raises
+    (VERDICT r4 #7; new code should still prefer ``hparams_scope``)."""
+    import copy
+
+    from neuralsvb_tpu.hparams import hparams
+    saved = copy.deepcopy(hparams)
+    try:
+        yield
+    finally:
+        hparams.clear()
+        hparams.update(saved)

@@ -277,3 +277,70 @@ def test_cached_ppg_training_runs_and_matches_exact_semantics():
     assert all(np.isfinite(np.asarray(v)).all() for v in logs.values())
     ret = task.training_step(batches[0], 200, 2)  # phase-3 map step
     assert ret is None or all(np.isfinite(float(v)) for _, v in ret[1].items())
+
+
+@pytest.mark.slow
+def test_ppg_cache_rebuild_after_restore_matches(tmp_path):
+    """Mid-training checkpoint restore must rebuild the PPG cache
+    identically: the cache is derived from state['params']['vc_asr'] (frozen,
+    excluded from every optimizer), so restored params must reproduce the
+    original rows bit-for-bit — and set_state must invalidate a previously
+    built cache so the rebuild actually happens (VERDICT r4 #4)."""
+    from neuralsvb_tpu.training.checkpoint import (restore_checkpoint,
+                                                   save_checkpoint)
+    ds = FakeDataset()
+    task = _make_task({"device_data_cache": "on", "cache_ppg": True})
+    task._train_ds = ds
+    b = collate(ds, [0, 1])
+    task.training_step(b, 5, 0)  # a real step; builds the cache en route
+    cache1 = task._maybe_device_cache(b)
+    assert cache1 is not None and "ppg_a" in cache1.arrays
+    rows1 = {k: np.asarray(v) for k, v in cache1.arrays.items()
+             if k.startswith("ppg_")}
+    save_checkpoint(task.get_state(), str(tmp_path), 6, 0)
+
+    # fresh process stand-in: new task, restore, rebuild on first batch
+    task2 = _make_task({"device_data_cache": "on", "cache_ppg": True})
+    state, step, _, _ = restore_checkpoint(task2.state_template(),
+                                           str(tmp_path))
+    assert step == 6
+    task2.set_state(state)
+    assert task2._device_cache == "unset"  # set_state invalidates
+    task2._train_ds = ds
+    cache2 = task2._maybe_device_cache(b)
+    for k, v in rows1.items():
+        np.testing.assert_array_equal(np.asarray(cache2.arrays[k]), v,
+                                      err_msg=f"{k} after restore")
+    # restored task keeps training on the rebuilt cache
+    ret = task2.training_step(b, 7, 0)
+    assert ret is not None and np.isfinite(float(ret[0]))
+
+
+@pytest.mark.slow
+def test_flagship_recipe_cache_ppg_off_leg():
+    """The shipped flagship recipe trains with cache_ppg: true (PARITY.md
+    §2.1); this leg pins the OTHER numerics: the real config chain with
+    `cache_ppg: false` must train on the device cache WITHOUT PPG rows —
+    i.e. the reference's collate-length rel-pos semantics stay exercised in
+    CI (VERDICT r4 #4)."""
+    import os
+    from neuralsvb_tpu.hparams import hparams_scope, load_config_recursive
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config_recursive(os.path.join(
+        repo, "egs/datasets/audio/PopBuTFy/vae_global_mle_eng.yaml"))
+    assert cfg.get("cache_ppg") is True  # the documented shipped default
+    assert cfg.get("device_data_cache") == "auto"
+    cfg.update(TINY)  # CI dims; the recipe's cache/dispatch knobs survive
+    cfg["cache_ppg"] = False
+    with hparams_scope(new=cfg):
+        from neuralsvb_tpu.tasks.svb_vae_task import SVBVAEMleTask
+        task = SVBVAEMleTask()
+        task.build_model()
+        ds = FakeDataset()
+        task._train_ds = ds
+        batches = [collate(ds, [0, 3]), collate(ds, [3, 0])]
+        prepared = task.prepare_cycle(batches)
+        assert prepared[1][0] == "cache"  # device cache engaged
+        assert "ppg_a" not in task._device_cache.arrays  # ...without PPG
+        logs = task.training_cycle(batches, 5, prepared=prepared)
+        assert all(np.isfinite(np.asarray(v)).all() for v in logs.values())

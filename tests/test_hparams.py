@@ -128,6 +128,13 @@ def test_hparams_scope_restores_on_exit_and_exception():
         except RuntimeError:
             pass
         assert hparams["a"] == 1 and "b" not in hparams
+
+        # nested-value mutations inside the scope must NOT survive exit
+        # (ADVICE r4: the snapshot is deep, not shallow)
+        with hparams_scope(b=2):
+            hparams["nested"]["x"] = 999
+            hparams["nested"]["new"] = 1
+        assert hparams["nested"] == {"x": 1}
     finally:
         hparams.clear()
         hparams.update(saved)
