@@ -1,6 +1,6 @@
 # Developer entry points (see README for the full CLI contract).
 
-.PHONY: test test-fast bench profile dryrun lint
+.PHONY: test test-fast bench profile dryrun lint parity-offline
 
 test:            ## full suite on a virtual 8-device CPU mesh
 	python -m pytest tests/ -q
@@ -18,3 +18,10 @@ dryrun:          ## multi-chip sharding dry-run on a virtual 8-device CPU mesh
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 NSVB_PLATFORM=cpu \
 	  JAX_PLATFORMS=cpu python -c "import sys; sys.path.insert(0, '.'); \
 	  from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+
+# environment-blocked parity gates (Praat f0 delta 0.97/10 Hz, MCD vs the
+# released ckpts 0.1 dB) — run where parselmouth / the released checkpoints
+# exist; env vars: NSVB_WAV_DIR, NSVB_REF_CKPT, NSVB_BIN_DIR (see
+# scripts/parity_offline.py)
+parity-offline:  ## offline parity gates (needs parselmouth / released ckpts)
+	python scripts/parity_offline.py

@@ -90,12 +90,12 @@ def conv_env(tmp_path_factory):
     }
     bin_cfg = load_config_recursive("egs/datasets/audio/PopBuTFy/para_bin.yaml")
     bin_cfg.update(common)
-    hparams.clear()
-    hparams.update(bin_cfg)
     from neuralsvb_tpu.data.binarizer import (PopBuTFyENSpkEMBinarizer,
                                               SaveSpkEmb)
-    SaveSpkEmb().process()
-    PopBuTFyENSpkEMBinarizer().process()
+    from neuralsvb_tpu.hparams import hparams_scope
+    with hparams_scope(new=bin_cfg):
+        SaveSpkEmb().process()
+        PopBuTFyENSpkEMBinarizer().process()
 
     cfg = load_config_recursive(
         "egs/datasets/audio/PopBuTFy/vae_global_mle_eng.yaml")
@@ -103,11 +103,20 @@ def conv_env(tmp_path_factory):
     return root, cfg
 
 
-def test_three_phase_convergence_and_mapping_wins(conv_env):
+@pytest.fixture
+def conv_hparams(conv_env):
+    """Function-scoped hparams view of the convergence config: the global
+    dict is restored on test exit (hparams_scope, VERDICT r4 #7 — the test
+    mutates infer/disable_map in-body and must not leak them)."""
     root, cfg = conv_env
+    from neuralsvb_tpu.hparams import hparams_scope
+    with hparams_scope(new=cfg):
+        yield root, cfg
+
+
+def test_three_phase_convergence_and_mapping_wins(conv_hparams):
+    root, cfg = conv_hparams
     from neuralsvb_tpu.hparams import hparams
-    hparams.clear()
-    hparams.update(cfg)
     from neuralsvb_tpu.tasks.mcd_eval import evaluate_dirs
     from neuralsvb_tpu.tasks.svb_vae_task import SVBVAEMleTask
 
