@@ -715,13 +715,22 @@ def main():
 
     emit()  # headline is safe from this point on
 
-    def stage(name, est_s, fn):
-        """Run one optional stage under the deadline budget and re-emit."""
-        if _left() < est_s:
-            skipped.append(f"{name} (est {est_s:.0f}s > {_left():.0f}s left)")
+    def stage(name, est_s, fn, warm_est_s=60.0):
+        """Run one optional stage under the deadline budget and re-emit.
+
+        ``est_s`` is the COLD cost estimate (dominated by XLA/Mosaic
+        compiles through the relay). When the headline stage itself ran
+        warm (persistent compilation cache hit — the expected state for the
+        driver's end-of-round run, which this repo pre-warms), compile cost
+        vanishes and the gate uses ``warm_est_s`` instead, so a warm run is
+        not starved by cold estimates."""
+        warm = stage_secs.get("vocoder_f32", 1e9) < 150
+        need = min(est_s, warm_est_s) if warm else est_s
+        if _left() < need:
+            skipped.append(f"{name} (est {need:.0f}s > {_left():.0f}s left)")
             emit()
             return
-        _log(f"{name} (est {est_s:.0f}s, {_left():.0f}s left)")
+        _log(f"{name} (est {need:.0f}s, {_left():.0f}s left)")
         t0 = time.perf_counter()
         try:
             fn()
@@ -800,6 +809,7 @@ def main():
                 detail["e2e_roofline_frac"] = round(frac, 3)
                 detail["e2e_roofline_bound"] = bound
         if tag == "_b8":
+            detail["e2e_utt_audio_sec_b8"] = round(e["audio_sec"], 2)
             # multi-chip serving projection: shard_infer distributes bs=8
             # batches over the data mesh with replicated params and NO
             # inference-time collectives (tests/test_shard_infer.py proves
@@ -846,13 +856,19 @@ def main():
     # Stage order = value under a cold-compile squeeze: the fused/unfused
     # A/B and the cached-train rows are the round-5 must-haves, then the
     # cheap CPU binarize row, then serving throughput, then extras.
+    # e2e_b8 runs at 1024 frames: the bs=8 x 2048-frame program
+    # DETERMINISTICALLY crashes this environment's remote compile helper
+    # (HTTP 500, reproduced twice in round 5), and 1024 shares its Mosaic
+    # kernels with the vocoder_1024 A/B stage. Throughput is reported with
+    # its own audio_sec so shorter utterances don't inflate comparisons.
     stage("vocoder_unfused", 190, run_voc_unfused)
     stage("train", 430, run_train)
     stage("binarize", 120, run_binarize)
     stage("e2e_b1", 280, lambda: run_e2e("", batch=1))
-    stage("e2e_b8", 200, lambda: run_e2e("_b8", batch=8, iters=3))
+    stage("vocoder_1024", 950, run_voc_1024)
+    stage("e2e_b8", 250, lambda: run_e2e("_b8", batch=8, iters=3,
+                                         n_frames=1024))
     stage("vocoder_bf16", 150, run_voc_bf16)
-    stage("vocoder_1024", 700, run_voc_1024)
     _log("done")
 
 
