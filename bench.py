@@ -200,7 +200,8 @@ def bench_vocoder_rtf(n_frames: int = 2048, iters: int = 10, warmup: int = 2,
 
 
 def bench_e2e_svb(n_frames: int = 2048, iters: int = 5, warmup: int = 2,
-                  batch: int = 1, rtt: float | None = None):
+                  batch: int = 1, rtt: float | None = None,
+                  fuse: str = "auto"):
     """Full a2p path: MleSVBVAE forward (a2a+p2p+a2p) + HiFiGAN-NSF vocoding
     of the a2p mel (BASELINE.json config #4). ``batch`` utterances per call —
     bs=1 matches the reference's serving mode; bs>1 amortizes the per-dispatch
@@ -221,10 +222,10 @@ def bench_e2e_svb(n_frames: int = 2048, iters: int = 5, warmup: int = 2,
                                                relay_rtt_seconds)
 
     with hparams_scope({**_flagship_hparams(), **hparams}):
-        return _bench_e2e_svb_body(n_frames, iters, warmup, batch, rtt)
+        return _bench_e2e_svb_body(n_frames, iters, warmup, batch, rtt, fuse)
 
 
-def _bench_e2e_svb_body(n_frames, iters, warmup, batch, rtt):
+def _bench_e2e_svb_body(n_frames, iters, warmup, batch, rtt, fuse="auto"):
     import jax
     import jax.numpy as jnp
 
@@ -243,7 +244,7 @@ def _bench_e2e_svb_body(n_frames, iters, warmup, batch, rtt):
                            concurrent_ways=("a2a", "p2p", "a2p"))
     batch_stats = variables.get("batch_stats", {})
     f0 = np.full((batch, n_frames), 220.0, np.float32)
-    voc, voc_params, _ = _vocoder_model_and_params()
+    voc, voc_params, _ = _vocoder_model_and_params(fuse)
 
     @jax.jit
     def e2e(params, voc_params, mels, prof_mels, pitch, prof_pitch, spk,
@@ -853,21 +854,61 @@ def main():
             detail["vocoder_fused_speedup_device_1024"] = round(
                 vu["device_s"] / vf["device_s"], 3)
 
+    def run_e2e_b8():
+        # bs=8 serving throughput at 1024 frames (the bs=8 x 2048 program
+        # DETERMINISTICALLY crashes this environment's remote compile
+        # helper — HTTP 500, reproduced twice in round 5 — and even the
+        # 1024 program crashes it when the helper has to build the 1024
+        # Mosaic modules AND the big XLA program in one request, observed
+        # once in r5). On a relay-compiler crash, fall back to the unfused
+        # (plain-XLA) vocoder so a real measured throughput row still
+        # lands; the fallback is named in detail so the fused/unfused
+        # numbers are never silently mixed.
+        if "vocoder_1024" not in stage_secs:
+            # The 1024 Mosaic modules are NOT relay-live: the fused b8
+            # compile is the reproduced crash mode (3x in r5), and the
+            # crash also appears to poison the relay's executable reuse
+            # for later programs. Don't even attempt it — land the
+            # unfused row directly.
+            _log("e2e_b8: vocoder_1024 didn't run; using the unfused "
+                 "vocoder (fused b8 compile is the helper's crash mode)")
+            run_e2e("_b8", batch=8, iters=3, n_frames=1024, fuse="off")
+            detail["e2e_b8_vocoder"] = "unfused (1024 Mosaic modules " \
+                "not relay-live; fused compile is the helper crash mode)"
+            return
+        try:
+            run_e2e("_b8", batch=8, iters=3, n_frames=1024)
+            detail["e2e_b8_vocoder"] = "fused"
+        except Exception as exc:  # noqa: BLE001 — relay compile helper crash
+            msg = f"{type(exc).__name__}: {exc}"
+            if not ("remote_compile" in msg or "HTTP 500" in msg):
+                raise
+            detail["e2e_b8_fused_error"] = msg[:160]
+            if _left() < 300:
+                raise
+            _log("e2e_b8 fused crashed the relay compiler; "
+                 "retrying with the unfused vocoder")
+            run_e2e("_b8", batch=8, iters=3, n_frames=1024, fuse="off")
+            detail["e2e_b8_vocoder"] = "unfused-fallback (relay " \
+                "compile helper crashed on the fused program)"
+
     # Stage order = value under a cold-compile squeeze: the fused/unfused
     # A/B and the cached-train rows are the round-5 must-haves, then the
     # cheap CPU binarize row, then serving throughput, then extras.
-    # e2e_b8 runs at 1024 frames: the bs=8 x 2048-frame program
-    # DETERMINISTICALLY crashes this environment's remote compile helper
-    # (HTTP 500, reproduced twice in round 5), and 1024 shares its Mosaic
-    # kernels with the vocoder_1024 A/B stage. Throughput is reported with
-    # its own audio_sec so shorter utterances don't inflate comparisons.
+    # vocoder_1024 runs BEFORE e2e_b8 on purpose: it compiles the
+    # 1024-frame Mosaic modules as a standalone request, so the b8 program
+    # that embeds them is a plain big-XLA compile (the combined request is
+    # the helper's crash mode — see run_e2e_b8). Its cold estimate is the
+    # measured Mosaic-cold/XLA-warm cost (288 s, r5): after the
+    # compile-variant collapse the stage adds ONE new Mosaic module set.
+    # Throughput at 1024 is reported with its own audio_sec so shorter
+    # utterances don't inflate comparisons.
     stage("vocoder_unfused", 190, run_voc_unfused)
     stage("train", 430, run_train)
     stage("binarize", 120, run_binarize)
     stage("e2e_b1", 280, lambda: run_e2e("", batch=1))
-    stage("vocoder_1024", 950, run_voc_1024)
-    stage("e2e_b8", 250, lambda: run_e2e("_b8", batch=8, iters=3,
-                                         n_frames=1024))
+    stage("vocoder_1024", 340, run_voc_1024)
+    stage("e2e_b8", 250, run_e2e_b8)
     stage("vocoder_bf16", 150, run_voc_bf16)
     _log("done")
 
