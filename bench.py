@@ -493,6 +493,20 @@ def _bench_train_body(n_frames, batch, iters, time_left):
             float(jax.device_get(next(iter(logs.values()))[-1]))
             wall = max(time.perf_counter() - t0 - rtt, 1e-9) / (K * n_calls)
             out[f"train_{name}_cycle_pipelined_wall_ms"] = round(wall * 1e3, 1)
+            serial = out.get(f"train_{name}_cycle_wall_ms")
+            if serial and wall * 1e3 > 2 * serial:
+                # Seen in r5 (1089/1884 ms vs 141/135 serial, and 2x noisier
+                # between runs): on a 1-core host the prefetch thread's
+                # device_put contends with the dispatch thread for the GIL
+                # and the relay client, serializing worse than no prefetch.
+                # This row measures the LEGACY non-cached streaming path;
+                # the shipped recipe uses the device cache, whose window
+                # payload is [K,B]-int32 indices (train_*_cached_cycle rows)
+                # — prefetch is moot there.
+                out[f"train_{name}_cycle_pipelined_note"] = (
+                    "pipelined >> serial: 1-core-host GIL/relay-client "
+                    "contention on the legacy non-cached path; production "
+                    "uses the device cache (see cached_cycle rows)")
 
     # bf16 training (compute_dtype: bfloat16 — params f32, model body bf16):
     # phase-2 step-time ratio vs the f32 run above, same methodology
@@ -855,21 +869,22 @@ def main():
                 vu["device_s"] / vf["device_s"], 3)
 
     def run_e2e_b8():
-        # bs=8 serving throughput at 1024 frames, ALWAYS with the unfused
-        # (plain-XLA) vocoder. The fused bs=8 e2e program crashes this
-        # environment's remote compile helper (HTTP 500, reproduced 3/3
-        # attempts in round 5) — including once with the 1024 Mosaic
-        # modules already relay-live (vocoder_1024 had compiled them 5 min
-        # earlier in the same process), so the crash is NOT a cold-module
-        # artifact and retrying is pure downside: a helper crash also
-        # wipes the relay's executable reuse for every later program.
-        # Fused serving performance is already evidenced by the fused b1
-        # e2e row plus the fused-vs-unfused vocoder A/B at both 2048 and
-        # 1024 frames; this row measures batched throughput, and its
-        # vocoder mode is named in detail so numbers are never mixed.
-        run_e2e("_b8", batch=8, iters=3, n_frames=1024, fuse="off")
-        detail["e2e_b8_vocoder"] = ("unfused (fused b8 compile crashes "
-                                    "the relay helper, 3/3 in r5)")
+        # bs=8 serving throughput at 1024 frames. History: with the
+        # lax.map batch folding (a length-8 scan-of-pallas), the fused b8
+        # e2e program crashed the remote compile helper (HTTP 500, 3/3 in
+        # round 5, including with the 1024 Mosaic modules already
+        # relay-live) — and a helper crash wipes the relay's executable
+        # reuse for every later program. The default batch folding is now
+        # a leading grid axis (ops/fused_resblock.py "grid" mode): no scan
+        # in the XLA program, which removes the crashing construct and was
+        # validated on this TPU before shipping. NSVB_BENCH_B8_FUSED=0
+        # restores the unfused fallback if an environment regresses.
+        fuse_b8 = os.environ.get("NSVB_BENCH_B8_FUSED", "1") != "0"
+        run_e2e("_b8", batch=8, iters=3, n_frames=1024,
+                fuse="auto" if fuse_b8 else "off")
+        detail["e2e_b8_vocoder"] = (
+            "fused (grid batch folding)" if fuse_b8 else
+            "unfused (NSVB_BENCH_B8_FUSED=0)")
 
     # Stage order = value under a cold-compile squeeze: the fused/unfused
     # A/B and the cached-train rows are the round-5 must-haves, then the

@@ -45,10 +45,14 @@ def test_fused_cluster_matches_flax(C, T, Tt):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_fused_cluster_batch():
+@pytest.mark.parametrize("batch_mode", ["grid", "map"])
+def test_fused_cluster_batch(batch_mode):
+    """Both batch foldings (leading grid axis vs lax.map scan) are exact;
+    'grid' is the default (the scan variant crashes the TPU relay's compile
+    helper at B=8 — ops/fused_resblock.py module docstring)."""
     x, params, ref = _towers(64, 260, B=3)
     y = fused_resblock_cluster(x, params, KS, DILS, Tt=128,
-                               mm_dtype=jnp.float32)
+                               mm_dtype=jnp.float32, batch_mode=batch_mode)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 
